@@ -1,0 +1,177 @@
+"""Config system: typed defaults + recursive YAML merge + CLI flags.
+
+Reproduces the reference surface (reference: config.py:7-56 defaults,
+config.py:59-91 ``merge_cfg`` type-checked YAML overlay, config.py:95-100
+``cfg_from_file``) without the easydict dependency, and fixes the unsafe
+``yaml.load`` (reference config.py:98) by using ``yaml.safe_load``.
+
+The three reference YAML experiment files (configs/*.yml) parse unchanged.
+TPU-specific knobs live under the ``tpu`` section; reference YAMLs never set
+them so the merge stays compatible.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+import numpy as np
+import yaml
+
+
+class Config(dict):
+    """dict with attribute access (replacement for easydict.EasyDict)."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def __delattr__(self, name: str) -> None:
+        try:
+            del self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    @classmethod
+    def wrap(cls, obj: Any) -> Any:
+        """Recursively convert nested dicts to Config."""
+        if isinstance(obj, dict):
+            return cls({k: cls.wrap(v) for k, v in obj.items()})
+        if isinstance(obj, (list, tuple)):
+            return type(obj)(cls.wrap(v) for v in obj)
+        return obj
+
+
+def default_config() -> Config:
+    """Typed defaults, key-for-key with the reference (config.py:7-56).
+
+    The extra ``tpu`` section holds TPU-native knobs with safe defaults.
+    """
+    c = Config.wrap({
+        # reference kept gpu_id/multi_gpus; we accept them (YAML compat) but the
+        # runtime is device-neutral: the mesh covers whatever jax.devices() shows.
+        "gpu_id": 0,
+        "num_workers": 4,
+        "multi_gpus": False,
+        "seed": 666,
+        "model_type": "baseline",
+        "graph_module": "GCN",
+        "graph_layers": 1,
+        "train": {
+            "restore": False,
+            "lr": 0.0001,
+            "batch_size": 32,
+            "max_epochs": 25,
+            "vision_dim": 2048,
+            "word_dim": 300,
+            "module_dim": 768,
+            "train_num": 0,  # 0 => full train set
+            "glove": True,
+            "num_of_nodes": 8,
+        },
+        "val": {
+            "flag": True,
+            "val_num": 0,  # 0 => full val set
+        },
+        "test": {
+            "test_num": 0,  # 0 => full test set
+            "write_preds": False,
+        },
+        "dataset": {
+            "name": "svqa",  # ['svqa', 'msrvtt-qa', 'msvd-qa']
+            "data_dir": "",
+            "appearance_feat": "{}_appearance_feat.h5",
+            "motion_feat": "{}_motion_feat.h5",
+            "vocab_json": "{}_vocab.json",
+            "train_question_pt": "{}_train_questions.pt",
+            "val_question_pt": "{}_val_questions.pt",
+            "test_question_pt": "{}_test_questions.pt",
+            "save_dir": "",
+        },
+        "exp_name": "defaultExp",
+        # ---- TPU-native extensions (not present in reference YAMLs) ----
+        "tpu": {
+            # matmul/activation compute dtype; params stay float32.
+            "compute_dtype": "float32",
+            # name of the data-parallel mesh axis.
+            "mesh_axis": "data",
+            # load whole feature HDF5s into host RAM when total bytes fit.
+            "feature_cache_gb": 8.0,
+            # host->device prefetch depth (batches in flight).
+            "prefetch": 2,
+            # use the fused Pallas DualVGR-cycle kernel when on TPU.
+            "use_pallas": False,
+        },
+    })
+    return c
+
+
+def _merge_into(yaml_cfg: dict, cfg: Config, path: str = "") -> None:
+    """Recursive type-checked merge (behavioral port of config.py:59-91)."""
+    if not isinstance(yaml_cfg, dict):
+        raise TypeError(f"expected dict at {path or '<root>'}, got {type(yaml_cfg)}")
+    for k, v in yaml_cfg.items():
+        kpath = f"{path}.{k}" if path else k
+        if k not in cfg:
+            raise KeyError(f"{kpath} is not a valid config key")
+        old = cfg[k]
+        if isinstance(old, dict):
+            _merge_into(v, old, kpath)
+            continue
+        # type check with the same numpy coercion affordances as the reference
+        if old is not None and v is not None and type(old) is not type(v):
+            if isinstance(old, np.ndarray):
+                v = np.array(v, dtype=old.dtype)
+            elif isinstance(old, float) and isinstance(v, int):
+                v = float(v)
+            elif isinstance(old, bool) and isinstance(v, int) and v in (0, 1):
+                v = bool(v)
+            else:
+                raise ValueError(
+                    f"type mismatch for {kpath}: config has {type(old).__name__}, "
+                    f"yaml has {type(v).__name__}"
+                )
+        cfg[k] = v
+
+
+def cfg_from_file(filename: str, cfg: Config | None = None) -> Config:
+    """Load a YAML experiment file and merge it over the defaults.
+
+    Unlike the reference (config.py:95-100), this returns a fresh Config
+    instead of mutating a module-global, and uses yaml.safe_load.
+    """
+    base = cfg if cfg is not None else default_config()
+    with open(filename, "r") as f:
+        yaml_cfg = yaml.safe_load(f)
+    if yaml_cfg:
+        _merge_into(yaml_cfg, base)
+    return base
+
+
+def resolve_dataset_paths(cfg: Config) -> Config:
+    """Template dataset filenames under data_dir (reference train.py:411-422).
+
+    Resolves appearance/motion/vocab/question paths as
+    ``{data_dir}/{name}_<artifact>``.
+    """
+    import os
+
+    c = copy.deepcopy(cfg)
+    name = c.dataset.name
+    d = c.dataset.data_dir
+    for key in (
+        "appearance_feat",
+        "motion_feat",
+        "vocab_json",
+        "train_question_pt",
+        "val_question_pt",
+        "test_question_pt",
+    ):
+        template = c.dataset[key]
+        c.dataset[key] = os.path.join(d, template.format(name))
+    return c

@@ -1,0 +1,207 @@
+"""DualVGR: the full video-QA network (reference model/models.py:36-173).
+
+Composition (reference models.py:36-53):
+  QuestionEncoder (GloVe + two BiLSTMs) ||| AppearanceEncoder (clip BiLSTM)
+  ||| MotionEncoder (Linear 2048->768) -> stacked DualVGR units -> MFB
+  appearance x motion fusion -> ContextSelfAttn clip aggregation ->
+  open-ended classifier.
+
+One DualVGR unit cycle (reference models.py:141-169):
+  1. QueryAttn re-reads the question into a 300-d guided query,
+  2. QueryPunish produces per-clip sigmoid relevance for both streams,
+  3. per graph layer: a "common" punished-GAT and a "specific" punished-GAT
+     over the dense clip graph for each stream,
+  4. AttentionSFGCN 2-way attention fuses [common, specific],
+  5. residual add into the running stream features.
+
+Deliberate fixes of reference quirks (SURVEY.md section 2.11):
+  * ``unit_layers`` is wired through everywhere (the reference train driver
+    silently dropped it and always trained with the default 2,
+    train.py:58-66 vs models.py:36),
+  * GAT bank indexing uses cycle * graph_layers + layer (the reference's
+    ``[i+j]`` under-indexes when graph_layers > 1, models.py:151-158),
+  * no hardcoded devices (reference models.py:118-119 pins 'cuda:1'); the
+    adjacency is computed with jnp,
+  * the auxiliary embeddings stay on device as stacked (T, B, N, D) arrays
+    instead of the reference's per-layer ``.cpu()`` round-trips
+    (models.py:153-160).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dualvgr_tpu.models.attention import ContextSelfAttn, QueryAttn, QueryPunish
+from dualvgr_tpu.models.decoder import OutputUnitOpenEnded
+from dualvgr_tpu.models.encoders import AppearanceEncoder, MotionEncoder, QuestionEncoder
+from dualvgr_tpu.models.fusion import MFB
+from dualvgr_tpu.models.graph import AttentionSFGCN, PunishGAT, dense_self_loop_adjacency
+
+
+class DualVGROutput(NamedTuple):
+    """Forward outputs (reference models.py:83,173).
+
+    logits: (B, num_answers)
+    aq_embed / mq_embed: (B, N, D) — last cycle's fused embeddings
+    com_app / com_motion / aq_fusion / mq_fusion: (T, B, N, D) stacks with
+    T = unit_layers * graph_layers, consumed by the auxiliary losses
+    (reference train.py:147-154).
+    """
+
+    logits: Any
+    aq_embed: Any
+    mq_embed: Any
+    com_app: Any
+    com_motion: Any
+    aq_fusion: Any
+    mq_fusion: Any
+
+
+class DualVGRUnitStack(nn.Module):
+    """Stacked DualVGR reasoning units (reference models.py:86-173)."""
+
+    word_dim: int = 300
+    module_dim: int = 768
+    num_of_nodes: int = 8
+    graph_layers: int = 1
+    unit_layers: int = 2
+
+    @nn.compact
+    def __call__(
+        self,
+        appearance_feat,
+        motion_feat,
+        dynamic_question_embedding,
+        word_embedding,
+        question_len,
+        *,
+        train: bool,
+    ):
+        d = self.module_dim
+        adj = dense_self_loop_adjacency(self.num_of_nodes, appearance_feat.dtype)
+
+        aq_fusion_list, mq_fusion_list = [], []
+        com_app_list, com_motion_list = [], []
+        aq_embed = mq_embed = None
+
+        for i in range(self.unit_layers):
+            aq = appearance_feat
+            mq = motion_feat
+            guided, _ = QueryAttn(d, name=f"query_attn_{i}")(
+                word_embedding, dynamic_question_embedding, question_len
+            )
+            app_scores = QueryPunish(d, name=f"query_punish_appear_{i}")(guided, aq)
+            mot_scores = QueryPunish(d, name=f"query_punish_motion_{i}")(guided, mq)
+
+            com_app = com_motion = None
+            for j in range(self.graph_layers):
+                k = i * self.graph_layers + j  # fixed bank indexing
+                com_app = PunishGAT(
+                    4, d // 4, name=f"ac_gat_{k}"
+                )(aq, adj, app_scores, train=train)
+                aq = PunishGAT(
+                    4, d // 4, name=f"appearance_gat_{k}"
+                )(aq, adj, app_scores, train=train)
+                aq_fusion_list.append(aq)
+                com_app_list.append(com_app)
+
+            for j in range(self.graph_layers):
+                k = i * self.graph_layers + j
+                com_motion = PunishGAT(
+                    4, d // 4, name=f"mc_gat_{k}"
+                )(mq, adj, mot_scores, train=train)
+                mq = PunishGAT(
+                    4, d // 4, name=f"motion_gat_{k}"
+                )(mq, adj, mot_scores, train=train)
+                mq_fusion_list.append(mq)
+                com_motion_list.append(com_motion)
+
+            # common-vs-specific fusion (reference models.py:162-166)
+            aq_embed, _ = AttentionSFGCN(d, name=f"attention_appearance_{i}")(
+                jnp.stack([com_app, aq], axis=1)
+            )
+            mq_embed, _ = AttentionSFGCN(d, name=f"attention_motion_{i}")(
+                jnp.stack([com_motion, mq], axis=1)
+            )
+            appearance_feat = appearance_feat + aq_embed
+            motion_feat = motion_feat + mq_embed
+
+        visual = MFB(d, name="visual_fusion")(appearance_feat, motion_feat)
+        return (
+            visual,
+            aq_embed,
+            mq_embed,
+            jnp.stack(com_app_list),
+            jnp.stack(com_motion_list),
+            jnp.stack(aq_fusion_list),
+            jnp.stack(mq_fusion_list),
+        )
+
+
+class DualVGR(nn.Module):
+    """Full network (reference model/models.py:36-83).
+
+    Construction args mirror the reference signature; ``vocab`` sizes are
+    passed explicitly so the module stays a pure pytree-of-arrays factory.
+    """
+
+    vision_dim: int = 2048
+    module_dim: int = 768
+    word_dim: int = 300
+    question_vocab_size: int = 1000
+    num_answers: int = 1000
+    num_of_nodes: int = 8
+    graph_layers: int = 1
+    unit_layers: int = 2
+
+    @nn.compact
+    def __call__(
+        self,
+        video_appearance_feat,
+        video_motion_feat,
+        question,
+        question_len,
+        *,
+        train: bool = False,
+    ) -> DualVGROutput:
+        """video_appearance_feat: (B, C, F, vision_dim) float;
+        video_motion_feat: (B, C, vision_dim) float;
+        question: (B, T) int32; question_len: (B,) int32."""
+        question_embedding, words, dynamic = QuestionEncoder(
+            self.question_vocab_size,
+            self.word_dim,
+            self.module_dim,
+            name="linguistic_input_unit",
+        )(question, question_len, train=train)
+
+        app = AppearanceEncoder(self.module_dim, name="visual_appearance_input_unit")(
+            video_appearance_feat, train=train
+        )
+        motion = MotionEncoder(self.module_dim, name="visual_motion_input_unit")(
+            video_motion_feat
+        )
+
+        visual, aq_embed, mq_embed, com_app, com_motion, aq_f, mq_f = (
+            DualVGRUnitStack(
+                self.word_dim,
+                self.module_dim,
+                self.num_of_nodes,
+                self.graph_layers,
+                self.unit_layers,
+                name="visual_input_unit",
+            )(app, motion, dynamic, words, question_len, train=train)
+        )
+
+        visual = ContextSelfAttn(self.module_dim, name="feature_aggregation")(
+            visual, train=train
+        )
+        logits = OutputUnitOpenEnded(
+            self.module_dim, self.num_answers, name="output_unit"
+        )(question_embedding, visual, train=train)
+
+        return DualVGROutput(
+            logits, aq_embed, mq_embed, com_app, com_motion, aq_f, mq_f
+        )

@@ -1,0 +1,121 @@
+"""Question and appearance encoders (reference model/Preprocessing.py).
+
+* ``QuestionEncoder`` == InputUnitLinguisticDynamic (Preprocessing.py:89-127):
+  Embedding -> dropout(0.15) -> tanh -> two parallel BiLSTMs:
+  (a) per-token outputs (the "dynamic" question embedding, B x T x 768),
+  (b) final-state sentence embedding (B x 768) with dropout(0.18).
+* ``AppearanceEncoder`` == VisualAppearanceEncoder (Preprocessing.py:191-234):
+  dropout(0.15) -> tanh on (B, C, F, 2048), BiLSTM over the F=16 frames of
+  each of B*C clips, concat final fwd/bwd states -> dropout(0.18) ->
+  (B, C, module_dim).
+
+Both BiLSTMs are masked ``lax.scan``s with a single fused input-projection
+matmul (see dualvgr_tpu/ops/lstm.py for the packed-vs-masked equivalence
+argument). Parameter init matches the reference: xavier_uniform weights /
+zero biases everywhere (model/utils.py:8-33), embedding U(-1,1)
+(models.py:53) — overwritten by GloVe at train start (train.py:75-79).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dualvgr_tpu.ops.lstm import LSTMParams, _xavier_uniform_torch_shape, bilstm
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional masked LSTM over (B, T, D) with torch-compatible params."""
+
+    hidden: int  # per-direction hidden size
+
+    @nn.compact
+    def __call__(self, x, lengths=None):
+        d = x.shape[-1]
+        h = self.hidden
+
+        def make(name_suffix):
+            w_ih = self.param(
+                f"w_ih_{name_suffix}",
+                lambda k: _xavier_uniform_torch_shape(k, (4 * h, d)),
+            )
+            w_hh = self.param(
+                f"w_hh_{name_suffix}",
+                lambda k: _xavier_uniform_torch_shape(k, (4 * h, h)),
+            )
+            b = self.param(f"b_{name_suffix}", nn.initializers.zeros, (4 * h,))
+            return LSTMParams(w_ih, w_hh, b)
+
+        fwd, bwd = make("fwd"), make("bwd")
+        return bilstm(fwd, bwd, x, lengths)
+
+
+class QuestionEncoder(nn.Module):
+    """InputUnitLinguisticDynamic (reference model/Preprocessing.py:89-127)."""
+
+    vocab_size: int
+    word_dim: int = 300
+    module_dim: int = 768
+
+    @nn.compact
+    def __call__(self, question, question_len, *, train: bool):
+        """question: (B, T) int32; question_len: (B,) int32.
+
+        Returns (question_embedding (B, module_dim),
+                 words (B, T, word_dim),
+                 dynamic_question_embedding (B, T, module_dim)).
+        """
+        # U(-1, 1) init like torch nn.init.uniform_(w, -1, 1)
+        # (reference models.py:53); overwritten by GloVe at train start.
+        embed = nn.Embed(
+            self.vocab_size,
+            self.word_dim,
+            embedding_init=lambda k, s, d=jnp.float32: jax.random.uniform(
+                k, s, d, minval=-1.0, maxval=1.0
+            ),
+            name="encoder_embed",
+        )
+        words = embed(question)
+        words = nn.Dropout(0.15, deterministic=not train)(words)
+        words = jnp.tanh(words)
+
+        rnn_dim = self.module_dim // 2
+        # (a) per-token outputs == DynamicRNN(words, len) (Preprocessing.py:117)
+        dynamic, _ = BiLSTM(rnn_dim, name="concat_rnn")(words, question_len)
+        # (b) final-state sentence embedding (Preprocessing.py:119-124)
+        _, final = BiLSTM(rnn_dim, name="encoder")(words, question_len)
+        question_embedding = nn.Dropout(0.18, deterministic=not train)(final)
+        return question_embedding, words, dynamic
+
+
+class AppearanceEncoder(nn.Module):
+    """VisualAppearanceEncoder (reference model/Preprocessing.py:191-234)."""
+
+    module_dim: int = 768
+
+    @nn.compact
+    def __call__(self, clips, *, train: bool):
+        """clips: (B, C, F, vision_dim) -> (B, C, module_dim)."""
+        b, c, f, d = clips.shape
+        x = nn.Dropout(0.15, deterministic=not train)(clips)
+        x = jnp.tanh(x)
+        # fold clips into the batch: each clip is one length-F sequence
+        x = x.reshape(b * c, f, d)
+        _, final = BiLSTM(self.module_dim // 2, name="encoder")(x)
+        final = nn.Dropout(0.18, deterministic=not train)(final)
+        return final.reshape(b, c, self.module_dim)
+
+
+class MotionEncoder(nn.Module):
+    """Linear 2048 -> module_dim (reference models.py:46,74)."""
+
+    module_dim: int = 768
+
+    @nn.compact
+    def __call__(self, motion_feat):
+        return nn.Dense(
+            self.module_dim,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="proj",
+        )(motion_feat)

@@ -1,0 +1,6 @@
+from dualvgr_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    data_mesh,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,52 @@
+"""Device mesh + sharding: the distributed-communication layer.
+
+The reference's only parallelism is single-process nn.DataParallel
+(reference train.py:80-83, off in all shipped configs); its TPU-native
+equivalent is batch-dim data parallelism over a 1-D ``jax.sharding.Mesh``:
+
+* params + optimizer state: replicated,
+* batches: sharded on the leading axis across the mesh,
+* gradients: XLA inserts the all-reduce (psum) over ICI automatically when
+  the loss is jit-compiled over the sharded batch — no NCCL/MPI analogue is
+  needed, and semantics are global-batch (so BatchNorm statistics and loss
+  normalization match single-device execution exactly).
+
+Multi-host scaling rides the same code path: ``jax.distributed.initialize``
+extends ``jax.devices()`` across hosts, DP stays on ICI within a slice and
+DCN across slices. Tests exercise the mesh on 8 virtual CPU devices via
+``XLA_FLAGS=--xla_force_host_platform_device_count=8`` (tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(axis_name: str = "data", devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated across the mesh (params, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a pytree of host arrays onto the mesh, batch-sharded.
+
+    Leading dims must be divisible by the mesh size; the data loader pads
+    the final partial batch (dualvgr_tpu/data/loader.py) so this holds.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
