@@ -1,0 +1,199 @@
+"""Host-side data pipeline: question pickles + HDF5 features -> device batches.
+
+Behavioral port of the reference loader (reference DataLoader.py:45-168)
+with a TPU-native pipeline instead of forked torch workers:
+
+* question pickle keys: ``questions`` (int, right-padded with <NULL>=0),
+  ``questions_len``, ``question_id``, ``video_ids``, ``answers``, ``glove``
+  (train only), ``question_category`` (SVQA only) — reference
+  preprocess/datautils/svqa.py:128-140,
+* ``train_num/val_num/test_num`` head-truncation (DataLoader.py:110-138),
+* batch contract (video_idx, q_idx, [category], answer, app_feat,
+  motion_feat, question, q_len) — DataLoader.py:77-84 — carried as a Batch
+  of numpy arrays plus a ``valid`` mask,
+* ``len(loader)`` = ceil(n / batch_size) (DataLoader.py:167-168).
+
+The final partial batch is PADDED to full batch size (mesh divisibility)
+and marked in ``valid``; train/eval consume the mask so loss, accuracy and
+batch statistics are computed over exactly the true samples — matching the
+reference's partial-batch semantics bit-for-bit in expectation while every
+XLA invocation keeps a static shape.
+
+Prefetch: a daemon thread assembles batches (HDF5 gathers + collation) into
+a bounded queue so host IO overlaps device compute. SVQA categories arrive
+as ints (stored by preprocess, svqa.py:95) or as strings (legacy pickles),
+both accepted like the reference's QUESTION_CATEGORY map (DataLoader.py:29,65).
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+import queue
+import threading
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from dualvgr_tpu.data.features import FeatureStore
+from dualvgr_tpu.data.vocab import load_vocab
+
+# string -> id map for legacy pickles that stored category names
+# (reference DataLoader.py:29-30)
+QUESTION_CATEGORY = {
+    "count": 0, "exist": 1, "query_color": 2, "query_size": 3,
+    "query_actiontype": 4, "query_actiondir": 5, "query_shape": 6,
+    "greater_than": 7, "equal_to": 8, "less_than": 9, "equal_color": 10,
+    "equal_size": 11, "equal_actiontype": 12, "equal_actiondir": 13,
+    "equal_shape": 14,
+}
+
+
+class Batch(NamedTuple):
+    video_idx: np.ndarray  # (B,) int64
+    question_idx: np.ndarray  # (B,) int64
+    question_category: Optional[np.ndarray]  # (B,) int32 or None
+    answer: np.ndarray  # (B,) int32
+    appearance_feat: np.ndarray  # (B, C, F, D) float32
+    motion_feat: np.ndarray  # (B, C, D) float32
+    question: np.ndarray  # (B, T) int32
+    question_len: np.ndarray  # (B,) int32
+    valid: np.ndarray  # (B,) float32 — 0 for padding rows of the final batch
+
+
+class VideoQADataLoader:
+    """Iterable over Batch tuples; one pass per ``__iter__`` call."""
+
+    def __init__(
+        self,
+        *,
+        question_pt: str,
+        vocab_json: str,
+        appearance_feat: str,
+        motion_feat: str,
+        batch_size: int,
+        shuffle: bool,
+        num_workers: int = 0,  # accepted for reference-CLI compat; prefetch is threaded
+        train_num: int = 0,
+        val_num: int = 0,
+        test_num: int = 0,
+        seed: int = 666,
+        feature_cache_gb: float = 8.0,
+        prefetch: int = 2,
+        pad_final: bool = True,
+    ):
+        self.vocab = load_vocab(vocab_json)
+        with open(question_pt, "rb") as f:
+            obj = pickle.load(f)
+        questions = np.asarray(obj["questions"], dtype=np.int32)
+        questions_len = np.asarray(obj["questions_len"], dtype=np.int32)
+        video_ids = np.asarray(obj["video_ids"], dtype=np.int64)
+        q_ids = np.asarray(obj["question_id"], dtype=np.int64)
+        answers = np.asarray(obj["answers"], dtype=np.int32)
+        self.glove_matrix = obj.get("glove", None)
+        categories = obj.get("question_category", None)
+        if categories is not None:
+            categories = np.asarray(
+                [
+                    QUESTION_CATEGORY[c] if isinstance(c, str) else int(c)
+                    for c in categories
+                ],
+                dtype=np.int32,
+            )
+
+        limit = max(train_num, val_num, test_num)
+        if limit > 0:
+            questions = questions[:limit]
+            questions_len = questions_len[:limit]
+            video_ids = video_ids[:limit]
+            q_ids = q_ids[:limit]
+            answers = answers[:limit]
+            if categories is not None:
+                categories = categories[:limit]
+
+        self.questions = questions
+        self.questions_len = questions_len
+        self.video_ids = video_ids
+        self.q_ids = q_ids
+        self.answers = answers
+        self.categories = categories
+
+        self.app_store = FeatureStore(
+            appearance_feat, "resnet_features", cache_gb=feature_cache_gb
+        )
+        self.motion_store = FeatureStore(
+            motion_feat, "resnext_features", cache_gb=feature_cache_gb
+        )
+        self._app_rows = self.app_store.rows_for_video_ids(video_ids)
+        self._motion_rows = self.motion_store.rows_for_video_ids(video_ids)
+
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.pad_final = pad_final
+        self.prefetch = max(prefetch, 1)
+        self._rng = np.random.RandomState(seed)
+        self._epoch = 0
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.questions)
+
+    def __len__(self) -> int:
+        # reference overrides DataLoader.__len__ the same way (DataLoader.py:167-168)
+        return math.ceil(self.num_samples / self.batch_size)
+
+    def _make_batch(self, idx: np.ndarray, n_valid: int) -> Batch:
+        app = self.app_store.gather(self._app_rows[idx]).astype(np.float32, copy=False)
+        motion = self.motion_store.gather(self._motion_rows[idx]).astype(
+            np.float32, copy=False
+        )
+        valid = np.zeros((len(idx),), np.float32)
+        valid[:n_valid] = 1.0
+        return Batch(
+            video_idx=self.video_ids[idx],
+            question_idx=self.q_ids[idx],
+            question_category=None if self.categories is None else self.categories[idx],
+            answer=self.answers[idx],
+            appearance_feat=app,
+            motion_feat=motion,
+            question=self.questions[idx],
+            question_len=self.questions_len[idx],
+            valid=valid,
+        )
+
+    def _batch_indices(self):
+        order = np.arange(self.num_samples)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        for start in range(0, self.num_samples, bs):
+            idx = order[start : start + bs]
+            n_valid = len(idx)
+            if n_valid < bs and self.pad_final:
+                pad = np.full((bs - n_valid,), idx[-1], idx.dtype)
+                idx = np.concatenate([idx, pad])
+            yield idx, n_valid
+
+    def __iter__(self):
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for idx, n_valid in self._batch_indices():
+                    q.put(self._make_batch(idx, n_valid))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+    def close(self):
+        self.app_store.close()
+        self.motion_store.close()

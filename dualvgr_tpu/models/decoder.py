@@ -14,7 +14,47 @@ eps 1e-5 matches torch's default.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d with an optional per-sample weight mask.
+
+    Matches torch nn.BatchNorm1d semantics (normalize with the biased batch
+    variance, track running stats with the unbiased one, momentum 0.1 torch
+    == 0.9 here, eps 1e-5) while excluding the padded rows the loader adds
+    to the final partial batch — so batch statistics cover exactly the true
+    samples, like the reference's ragged last batch.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, valid=None, *, train: bool):
+        d = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((d,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((d,)))
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+
+        if train:
+            if valid is None:
+                valid = jnp.ones((x.shape[0],), x.dtype)
+            n = jnp.maximum(valid.sum(), 1.0)
+            w = (valid / n)[:, None]
+            mean = (w * x).sum(axis=0)
+            var = (w * (x - mean) ** 2).sum(axis=0)  # biased, used to normalize
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+            use_mean, use_var = mean, var
+        else:
+            use_mean, use_var = ra_mean.value, ra_var.value
+        y = (x - use_mean) * jax.lax.rsqrt(use_var + self.epsilon)
+        return y * scale + bias
 
 
 class OutputUnitOpenEnded(nn.Module):
@@ -24,7 +64,7 @@ class OutputUnitOpenEnded(nn.Module):
     num_answers: int = 1000
 
     @nn.compact
-    def __call__(self, question_embedding, visual_embedding, *, train: bool):
+    def __call__(self, question_embedding, visual_embedding, valid=None, *, train: bool):
         q = nn.Dense(
             self.module_dim,
             kernel_init=nn.initializers.xavier_uniform(),
@@ -38,12 +78,7 @@ class OutputUnitOpenEnded(nn.Module):
             name="fc1",
         )(out)
         out = nn.elu(out)
-        out = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            name="bn",
-        )(out)
+        out = MaskedBatchNorm(name="bn")(out, valid, train=train)
         out = nn.Dropout(0.15, deterministic=not train)(out)
         return nn.Dense(
             self.num_answers,

@@ -164,12 +164,15 @@ class DualVGR(nn.Module):
         video_motion_feat,
         question,
         question_len,
+        valid=None,
         *,
         train: bool = False,
     ) -> DualVGROutput:
         """video_appearance_feat: (B, C, F, vision_dim) float;
         video_motion_feat: (B, C, vision_dim) float;
-        question: (B, T) int32; question_len: (B,) int32."""
+        question: (B, T) int32; question_len: (B,) int32;
+        valid: optional (B,) float mask for padded final-batch rows
+        (consumed by the classifier's batch statistics)."""
         question_embedding, words, dynamic = QuestionEncoder(
             self.question_vocab_size,
             self.word_dim,
@@ -200,7 +203,7 @@ class DualVGR(nn.Module):
         )
         logits = OutputUnitOpenEnded(
             self.module_dim, self.num_answers, name="output_unit"
-        )(question_embedding, visual, train=train)
+        )(question_embedding, visual, valid, train=train)
 
         return DualVGROutput(
             logits, aq_embed, mq_embed, com_app, com_motion, aq_f, mq_f

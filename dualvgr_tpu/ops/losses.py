@@ -20,15 +20,22 @@ import jax.numpy as jnp
 import optax
 
 
-def cross_entropy_loss(logits, labels):
-    """Mean softmax cross entropy over the batch (torch nn.CrossEntropyLoss)."""
-    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+def cross_entropy_loss(logits, labels, valid=None):
+    """Mean softmax cross entropy over the batch (torch nn.CrossEntropyLoss).
+
+    ``valid`` (B,) masks padding rows of the final partial batch so the mean
+    is over exactly the true samples, like the reference's ragged last batch.
+    """
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    if valid is None:
+        return ce.mean()
+    return (ce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
 
 
-def common_loss(emb1, emb2):
+def common_loss(emb1, emb2, valid=None):
     """MSE between normalized node-covariance matrices (reference utils.py:10-18).
 
-    emb*: (B, N, D). Returns a scalar.
+    emb*: (B, N, D). Returns a scalar (masked mean over valid samples).
     """
     emb1 = emb1 - emb1.mean(axis=1, keepdims=True)
     emb2 = emb2 - emb2.mean(axis=1, keepdims=True)
@@ -42,16 +49,23 @@ def common_loss(emb1, emb2):
     )
     cov1 = jnp.einsum("bnd,bmd->bnm", emb1, emb1)
     cov2 = jnp.einsum("bnd,bmd->bnm", emb2, emb2)
-    return jnp.mean((cov1 - cov2) ** 2)
+    per_sample = jnp.mean((cov1 - cov2) ** 2, axis=(1, 2))
+    if valid is None:
+        return per_sample.mean()
+    return (per_sample * valid).sum() / jnp.maximum(valid.sum(), 1.0)
 
 
-def hsic_dependence_loss(emb1, emb2, num_nodes: int):
+def hsic_dependence_loss(emb1, emb2, num_nodes: int, valid=None):
     """HSIC independence penalty summed over batch (reference utils.py:20-31).
 
     emb*: (B, N, D) with N == num_nodes. Returns a scalar:
-    sum_b tr(R K1_b R K2_b) with R = I - (1/N) 11^T.
+    sum_b tr(R K1_b R K2_b) with R = I - (1/N) 11^T. Padding rows (valid=0)
+    are zeroed out, contributing exactly 0 to the sum.
     """
     n = num_nodes
+    if valid is not None:
+        emb1 = emb1 * valid[:, None, None]
+        emb2 = emb2 * valid[:, None, None]
     r = jnp.eye(n, dtype=emb1.dtype) - (1.0 / n) * jnp.ones((n, n), emb1.dtype)
     k1 = jnp.einsum("bnd,bmd->bnm", emb1, emb1)
     k2 = jnp.einsum("bnd,bmd->bnm", emb2, emb2)
@@ -72,6 +86,7 @@ def dualvgr_total_loss(
     alpha: float,
     beta: float,
     num_of_nodes: int,
+    valid=None,
 ):
     """CE + alpha * mean(common) + beta * mean(HSIC dep) (reference train.py:146-154).
 
@@ -79,14 +94,14 @@ def dualvgr_total_loss(
     (unit cycle x graph layer) — the JAX analogue of the reference's lists.
     Averaging over T matches the reference's ``/temp``.
     """
-    ce = cross_entropy_loss(logits, labels)
+    ce = cross_entropy_loss(logits, labels, valid)
     t = aq_fusion.shape[0]
 
     def per_layer(i, acc):
         dep_acc, com_acc = acc
-        dep = hsic_dependence_loss(aq_fusion[i], com_app[i], num_of_nodes)
-        dep = dep + hsic_dependence_loss(mq_fusion[i], com_motion[i], num_of_nodes)
-        com = common_loss(com_app[i], com_motion[i])
+        dep = hsic_dependence_loss(aq_fusion[i], com_app[i], num_of_nodes, valid)
+        dep = dep + hsic_dependence_loss(mq_fusion[i], com_motion[i], num_of_nodes, valid)
+        com = common_loss(com_app[i], com_motion[i], valid)
         return dep_acc + dep, com_acc + com
 
     dep_total, com_total = jax.lax.fori_loop(

@@ -40,6 +40,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (e.g. the train state) onto every mesh device.
+
+    Needed after checkpoint restore: orbax returns arrays committed to one
+    device, which jit refuses to mix with mesh-sharded batches.
+    """
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Place a pytree of host arrays onto the mesh, batch-sharded.
 

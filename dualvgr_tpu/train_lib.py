@@ -105,12 +105,18 @@ def train_step(
     alpha: float,
     beta: float,
 ):
-    """One optimization step. batch = (app, motion, question, qlen, answers).
+    """One optimization step.
 
+    batch = (app, motion, question, qlen, answers) or the same + (valid,)
+    where valid (B,) float masks padded rows of the final partial batch.
     Returns (new_state, metrics) with metrics = {loss, ce, common,
     dependence, correct, count}.
     """
-    app, motion, question, qlen, answers = batch
+    if len(batch) == 6:
+        app, motion, question, qlen, answers, valid = batch
+    else:
+        app, motion, question, qlen, answers = batch
+        valid = jnp.ones((answers.shape[0],), jnp.float32)
     rng = jax.random.fold_in(state.rng, state.step)
 
     def loss_fn(params):
@@ -120,6 +126,7 @@ def train_step(
             motion,
             question,
             qlen,
+            valid,
             train=True,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
@@ -134,6 +141,7 @@ def train_step(
             alpha=alpha,
             beta=beta,
             num_of_nodes=model.num_of_nodes,
+            valid=valid,
         )
         return total, (aux, out.logits, mutated["batch_stats"])
 
@@ -149,8 +157,8 @@ def train_step(
         "ce": aux["ce"],
         "common": aux["common"],
         "dependence": aux["dependence"],
-        "correct": (preds == answers).sum(),
-        "count": jnp.asarray(answers.shape[0], jnp.int32),
+        "correct": ((preds == answers) * valid).sum(),
+        "count": valid.sum().astype(jnp.int32),
     }
     new_state = state.replace(
         step=state.step + 1,

@@ -1,0 +1,71 @@
+"""Orbax checkpointing: best-on-val policy + restore.
+
+Reference behavior being matched (reference train.py:359-367, 113-119;
+validate.py:252-286): save {epoch, weights, optimizer state, model_kwargs}
+when validation accuracy improves; restore rebuilds the model from the
+saved model_kwargs + fresh vocab. Fixed reference quirks: no 10-second
+sleep before saving (train.py:366), and save/restore use the SAME path so
+resume needs no manual rename (the reference saves timestamped names but
+restores a fixed 'model.pt', train.py:115 vs :367).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from dualvgr_tpu.train_lib import TrainState
+
+_STATE_DIR = "state"
+_KWARGS_FILE = "model_kwargs.json"
+
+
+def save_checkpoint(ckpt_dir: str, epoch: int, state: TrainState, model_kwargs: dict):
+    """Write the train state + model_kwargs under {ckpt_dir}/model."""
+    path = os.path.abspath(os.path.join(ckpt_dir, "model"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tree = {
+        "epoch": epoch,
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+    }
+    with ocp.StandardCheckpointer() as ck:
+        ck.save(os.path.join(path, _STATE_DIR), jax.device_get(tree), force=True)
+    with open(os.path.join(path, _KWARGS_FILE), "w") as f:
+        json.dump(model_kwargs, f, indent=2)
+
+
+def load_model_kwargs(ckpt_dir: str) -> dict:
+    path = os.path.abspath(os.path.join(ckpt_dir, "model", _KWARGS_FILE))
+    with open(path, "r") as f:
+        return json.load(f)
+
+
+def restore_checkpoint(ckpt_dir: str, state: TrainState) -> tuple[int, TrainState]:
+    """Restore into the structure of ``state``; returns (epoch, new_state)."""
+    path = os.path.abspath(os.path.join(ckpt_dir, "model", _STATE_DIR))
+    target = {
+        "epoch": 0,
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+    }
+    with ocp.StandardCheckpointer() as ck:
+        tree: Any = ck.restore(path, target)
+    new_state = state.replace(
+        step=tree["step"],
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+        rng=tree["rng"],
+    )
+    return int(tree["epoch"]), new_state

@@ -1,0 +1,55 @@
+"""Test env: 8 virtual CPU devices so the pjit mesh is exercised without TPUs.
+
+Must run before any jax import (pytest loads conftest first).
+"""
+
+import os
+
+# force CPU even when the ambient env selects a TPU platform (e.g. axon):
+# tests exercise the mesh on 8 virtual CPU devices and expect fp32 matmuls.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# some TPU plugins (axon) prepend themselves to jax_platforms regardless of
+# the env var; override the config directly before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def synth_dir(tmp_path_factory):
+    """Small synthetic SVQA dataset shared by data/driver tests."""
+    from dualvgr_tpu.data.synthetic import generate
+
+    out = str(tmp_path_factory.mktemp("synth"))
+    paths = generate(
+        out,
+        dataset="svqa",
+        num_videos=24,
+        questions_per_video=3,
+        num_clips=4,
+        vision_dim=32,
+        frames=3,
+        num_answers=12,
+        vocab_size=40,
+        max_q_len=8,
+        word_dim=16,
+        module_dim=32,
+        batch_size=8,
+        max_epochs=1,
+    )
+    paths["dir"] = out
+    return paths

@@ -1,0 +1,99 @@
+"""Data layer tests against the synthetic reference-schema artifacts."""
+
+import numpy as np
+
+from dualvgr_tpu.data import VideoQADataLoader
+from dualvgr_tpu.data.features import FeatureStore
+
+
+def _loader(synth_dir, **kw):
+    d = synth_dir["dir"]
+    args = dict(
+        question_pt=f"{d}/svqa_train_questions.pt",
+        vocab_json=f"{d}/svqa_vocab.json",
+        appearance_feat=f"{d}/svqa_appearance_feat.h5",
+        motion_feat=f"{d}/svqa_motion_feat.h5",
+        batch_size=8,
+        shuffle=False,
+    )
+    args.update(kw)
+    return VideoQADataLoader(**args)
+
+
+def test_batch_contract(synth_dir):
+    loader = _loader(synth_dir)
+    batch = next(iter(loader))
+    b = 8
+    assert batch.appearance_feat.shape == (b, 4, 3, 32)
+    assert batch.motion_feat.shape == (b, 4, 32)
+    assert batch.question.shape[0] == b and batch.question.dtype == np.int32
+    assert batch.question_len.shape == (b,)
+    assert batch.answer.shape == (b,)
+    assert batch.question_category is not None  # svqa
+    assert batch.valid.sum() == b
+    assert loader.glove_matrix is not None  # train pickle carries GloVe
+
+
+def test_len_and_final_batch_padding(synth_dir):
+    loader = _loader(synth_dir, batch_size=10)
+    n = loader.num_samples
+    batches = list(loader)
+    assert len(batches) == len(loader) == -(-n // 10)
+    last = batches[-1]
+    n_valid = n - 10 * (len(batches) - 1)
+    assert last.valid.sum() == n_valid
+    assert last.appearance_feat.shape[0] == 10  # static shape
+    # padded rows replicate the last valid row
+    if n_valid < 10:
+        np.testing.assert_array_equal(
+            last.question[n_valid:], np.broadcast_to(last.question[n_valid - 1], last.question[n_valid:].shape)
+        )
+
+
+def test_truncation(synth_dir):
+    loader = _loader(synth_dir, train_num=5)
+    assert loader.num_samples == 5
+
+
+def test_shuffle_is_seeded_and_reshuffles(synth_dir):
+    l1 = _loader(synth_dir, shuffle=True, seed=123)
+    l2 = _loader(synth_dir, shuffle=True, seed=123)
+    b1 = next(iter(l1))
+    b2 = next(iter(l2))
+    np.testing.assert_array_equal(b1.question_idx, b2.question_idx)
+    # second epoch differs from the first (new permutation)
+    b1b = next(iter(l1))
+    assert not np.array_equal(b1.question_idx, b1b.question_idx)
+
+
+def test_features_align_with_video_ids(synth_dir):
+    """Each batch row's features must be the h5 row for that video id."""
+    import h5py
+
+    loader = _loader(synth_dir)
+    with h5py.File(synth_dir["appearance"], "r") as f:
+        feats = f["resnet_features"][()]
+        ids = f["ids"][()]
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    batch = next(iter(loader))
+    for k in range(len(batch.video_idx)):
+        row = id_to_row[int(batch.video_idx[k])]
+        np.testing.assert_array_equal(batch.appearance_feat[k], feats[row])
+
+
+def test_feature_store_cache_equivalence(synth_dir):
+    cached = FeatureStore(synth_dir["appearance"], "resnet_features", cache_gb=8.0)
+    uncached = FeatureStore(synth_dir["appearance"], "resnet_features", cache_gb=0.0)
+    assert cached.cached and not uncached.cached
+    rows = np.asarray([3, 0, 3, 2])  # duplicates + unsorted
+    np.testing.assert_array_equal(cached.gather(rows), uncached.gather(rows))
+    uncached.close()
+
+
+def test_vocab_inversion(synth_dir):
+    from dualvgr_tpu.data.vocab import load_vocab
+
+    v = load_vocab(synth_dir["vocab"])
+    assert v["question_idx_to_token"][0] == "<NULL>"
+    assert v["answer_idx_to_token"][0] == "<UNK0>"
+    assert v["question_token_to_idx"]["what"] == v["question_token_to_idx"]["what"]

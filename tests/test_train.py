@@ -1,0 +1,178 @@
+"""Training-loop semantics: schedule, masked batches, checkpoint round-trip,
+and an end-to-end learning smoke test on the sharded mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dualvgr_tpu.models import DualVGR
+from dualvgr_tpu import train_lib
+from dualvgr_tpu.parallel import data_mesh, replicate, shard_batch
+
+
+def tiny_model(**kw):
+    args = dict(
+        vision_dim=24,
+        module_dim=16,
+        word_dim=8,
+        question_vocab_size=30,
+        num_answers=10,
+        num_of_nodes=4,
+        graph_layers=1,
+        unit_layers=1,
+    )
+    args.update(kw)
+    return DualVGR(**args)
+
+
+def tiny_batch(rng, b=16, c=4, f=3, t=5, v=30, a=10, vis=24):
+    app = rng.randn(b, c, f, vis).astype(np.float32)
+    mot = rng.randn(b, c, vis).astype(np.float32)
+    q = rng.randint(1, v, (b, t)).astype(np.int32)
+    qlen = rng.randint(1, t + 1, (b,)).astype(np.int32)
+    for i in range(b):
+        q[i, qlen[i]:] = 0
+    ans = rng.randint(0, a, (b,)).astype(np.int32)
+    return app, mot, q, qlen, ans
+
+
+def test_lr_schedule_halves_every_10_epochs():
+    sched = train_lib.make_lr_schedule(1e-4, steps_per_epoch=7)
+    assert float(sched(0)) == 1e-4
+    assert float(sched(7 * 9)) == 1e-4  # epoch 9
+    assert float(sched(7 * 10)) == 5e-5  # epoch 10
+    assert float(sched(7 * 20)) == 2.5e-5  # epoch 20
+
+
+def test_masked_final_batch_equals_unpadded(rng):
+    """A padded batch with valid mask gives the same loss/metrics as the
+    unpadded true batch (exact partial-batch semantics)."""
+    model = tiny_model()
+    app, mot, q, qlen, ans = tiny_batch(rng, b=8)
+    opt = train_lib.make_optimizer(1e-3, 10)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(0), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+
+    true_b = 5
+    valid = np.zeros((8,), np.float32)
+    valid[:true_b] = 1.0
+    # padded rows replicate the last valid row like the loader does
+    for arr in (app, mot, q, qlen, ans):
+        arr[true_b:] = arr[true_b - 1]
+
+    _, m_pad = train_lib.train_step(
+        state, (app, mot, q, qlen, ans, valid), model=model, optimizer=opt,
+        alpha=1.0, beta=1e-8,
+    )
+    _, m_true = train_lib.train_step(
+        state,
+        (app[:true_b], mot[:true_b], q[:true_b], qlen[:true_b], ans[:true_b]),
+        model=model, optimizer=opt, alpha=1.0, beta=1e-8,
+    )
+    np.testing.assert_allclose(float(m_pad["ce"]), float(m_true["ce"]), rtol=2e-4)
+    np.testing.assert_allclose(float(m_pad["loss"]), float(m_true["loss"]), rtol=2e-3)
+    assert int(m_pad["count"]) == true_b
+
+
+def test_sharded_matches_single_device(rng):
+    """The mesh-sharded step must produce the same metrics as unsharded
+    execution — data parallelism is semantics-preserving."""
+    model = tiny_model()
+    batch = tiny_batch(rng, b=16)
+    app, mot, q, qlen, ans = batch
+    opt = train_lib.make_optimizer(1e-3, 10)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(1), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+    step = train_lib.jit_train_step(model, opt, 1.0, 1e-8, donate=False)
+
+    mesh = data_mesh()
+    assert mesh.size == 8
+    sharded = shard_batch(batch, mesh)
+    s1, m1 = step(replicate(state, mesh), sharded)
+    s2, m2 = step(state, jax.tree_util.tree_map(jnp.asarray, batch))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["correct"]), float(m2["correct"]))
+    # params after the step agree too
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_overfit_tiny_batch(rng):
+    model = tiny_model()
+    batch = tiny_batch(rng, b=16)
+    app, mot, q, qlen, ans = batch
+    opt = train_lib.make_optimizer(3e-3, 1000)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(2), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+    step = train_lib.jit_train_step(model, opt, 1.0, 1e-8)
+    batch_j = jax.tree_util.tree_map(jnp.asarray, batch)
+    first = None
+    for i in range(30):
+        state, m = step(state, batch_j)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first * 0.7
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    from dualvgr_tpu.utils.checkpoint import (
+        load_model_kwargs,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model = tiny_model()
+    app, mot, q, qlen, ans = tiny_batch(rng, b=4)
+    opt = train_lib.make_optimizer(1e-3, 10)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(3), (app, mot, q, qlen), opt
+    )
+    state, _ = train_lib.train_step(
+        state, (app, mot, q, qlen, ans), model=model, optimizer=opt, alpha=1.0, beta=0.0
+    )
+    kwargs = {"vision_dim": 24, "module_dim": 16}
+    save_checkpoint(str(tmp_path), 3, state, kwargs)
+
+    fresh = train_lib.create_train_state(
+        model, jax.random.PRNGKey(99), (app, mot, q, qlen), opt
+    )
+    epoch, restored = restore_checkpoint(str(tmp_path), fresh)
+    assert epoch == 3
+    assert load_model_kwargs(str(tmp_path)) == kwargs
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state continues training identically
+    _, m1 = train_lib.train_step(
+        state, (app, mot, q, qlen, ans), model=model, optimizer=opt, alpha=1.0, beta=0.0
+    )
+    _, m2 = train_lib.train_step(
+        restored, (app, mot, q, qlen, ans), model=model, optimizer=opt, alpha=1.0, beta=0.0
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_unit_layers_and_graph_layers_stack(rng):
+    """T = unit_layers * graph_layers aux entries; params differ per bank
+    (fixes the reference's [i+j] indexing, models.py:151-158)."""
+    model = tiny_model(unit_layers=2, graph_layers=2)
+    app, mot, q, qlen, ans = tiny_batch(rng, b=2)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        app, mot, q, qlen, train=False,
+    )
+    out = model.apply(variables, app, mot, q, qlen, train=False)
+    assert out.aq_fusion.shape[0] == 4
+    assert out.com_motion.shape[0] == 4
+    # four distinct GAT banks exist per stream
+    unit = variables["params"]["visual_input_unit"]
+    assert {f"appearance_gat_{k}" in unit for k in range(4)} == {True}
