@@ -221,15 +221,15 @@ def load_flax_params(twin: TorchDualVGR, params, batch_stats) -> None:
         _copy_linear(twin.punish_mot[i], vu[f"query_punish_motion_{i}"]["query_weight"]["kernel"],
                      vu[f"query_punish_motion_{i}"]["query_weight"]["bias"])
         at = vu[f"attention_appearance_{i}"]
-        _copy_linear(twin.attn_app[i].proj, at["proj"]["kernel"], at["proj"]["bias"])
-        _copy_linear(twin.attn_app[i].score, at["score"]["kernel"])
+        _copy_linear(twin.attn_app[i].proj, at["proj_kernel"], at["proj_bias"])
+        _copy_linear(twin.attn_app[i].score, at["score_kernel"])
         at = vu[f"attention_motion_{i}"]
-        _copy_linear(twin.attn_mot[i].proj, at["proj"]["kernel"], at["proj"]["bias"])
-        _copy_linear(twin.attn_mot[i].score, at["score"]["kernel"])
+        _copy_linear(twin.attn_mot[i].proj, at["proj_kernel"], at["proj_bias"])
+        _copy_linear(twin.attn_mot[i].score, at["score_kernel"])
 
     def copy_gat(dst: TorchPunishGAT, src):
-        kernel = np.asarray(src["w"]["kernel"])  # (D, H, hd)
-        bias = np.asarray(src["w"]["bias"])  # (H, hd)
+        kernel = np.asarray(src["w_kernel"])  # (D, H, hd)
+        bias = np.asarray(src["w_bias"])  # (H, hd)
         a = np.asarray(src["a"])  # (H, 2hd)
         ab = np.asarray(src["a_bias"])  # (H,)
         for h, head in enumerate(dst.heads):

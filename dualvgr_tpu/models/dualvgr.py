@@ -61,15 +61,61 @@ class DualVGROutput(NamedTuple):
 
 
 class DualVGRUnitStack(nn.Module):
-    """Stacked DualVGR reasoning units (reference models.py:86-173)."""
+    """Stacked DualVGR reasoning units (reference models.py:86-173).
+
+    With ``use_pallas`` (inference path only) the per-cycle graph reasoning
+    — common GAT + specific GAT + 2-way fusion + residual — runs as ONE
+    fused Pallas kernel per stream (dualvgr_tpu/ops/gat_pallas.py), sharing
+    the exact same parameters as the XLA composition. Training and the
+    auxiliary-loss outputs always use the XLA path (grads via autodiff, and
+    the fused path doesn't materialize per-layer intermediates).
+    """
 
     word_dim: int = 300
     module_dim: int = 768
     num_of_nodes: int = 8
     graph_layers: int = 1
     unit_layers: int = 2
+    use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        d = self.module_dim
+        u, g = self.unit_layers, self.graph_layers
+        self.query_attns = [QueryAttn(d, name=f"query_attn_{i}") for i in range(u)]
+        self.punish_appear = [
+            QueryPunish(d, name=f"query_punish_appear_{i}") for i in range(u)
+        ]
+        self.punish_motion = [
+            QueryPunish(d, name=f"query_punish_motion_{i}") for i in range(u)
+        ]
+        mk_gat = lambda name: PunishGAT(4, d // 4, in_dim=d, name=name)
+        self.ac_gats = [mk_gat(f"ac_gat_{k}") for k in range(u * g)]
+        self.appearance_gats = [mk_gat(f"appearance_gat_{k}") for k in range(u * g)]
+        self.mc_gats = [mk_gat(f"mc_gat_{k}") for k in range(u * g)]
+        self.motion_gats = [mk_gat(f"motion_gat_{k}") for k in range(u * g)]
+        self.attention_appearance = [
+            AttentionSFGCN(d, in_dim=d, name=f"attention_appearance_{i}") for i in range(u)
+        ]
+        self.attention_motion = [
+            AttentionSFGCN(d, in_dim=d, name=f"attention_motion_{i}") for i in range(u)
+        ]
+        self.visual_fusion = MFB(d, name="visual_fusion")
+
+    def _fused_cycle(self, h, scores, gat_c, gat_s, sfgcn):
+        """One stream's cycle through the fused Pallas kernel."""
+        from dualvgr_tpu.ops.gat_pallas import fused_gat_cycle
+
+        d = self.module_dim
+        nh, hd = gat_c.n_heads, gat_c.head_dim
+        return fused_gat_cycle(
+            h, scores,
+            gat_c.w_kernel.reshape(d, nh * hd), gat_c.w_bias.reshape(nh * hd),
+            gat_c.a, gat_c.a_bias,
+            gat_s.w_kernel.reshape(d, nh * hd), gat_s.w_bias.reshape(nh * hd),
+            gat_s.a, gat_s.a_bias,
+            sfgcn.proj_kernel, sfgcn.proj_bias, sfgcn.score_kernel,
+        )
+
     def __call__(
         self,
         appearance_feat,
@@ -82,6 +128,9 @@ class DualVGRUnitStack(nn.Module):
     ):
         d = self.module_dim
         adj = dense_self_loop_adjacency(self.num_of_nodes, appearance_feat.dtype)
+        # the fused kernel covers exactly one (common, specific, fuse,
+        # residual) cycle; multi-graph-layer stacks fall back to XLA
+        fused = self.use_pallas and not train and self.graph_layers == 1
 
         aq_fusion_list, mq_fusion_list = [], []
         com_app_list, com_motion_list = [], []
@@ -90,46 +139,52 @@ class DualVGRUnitStack(nn.Module):
         for i in range(self.unit_layers):
             aq = appearance_feat
             mq = motion_feat
-            guided, _ = QueryAttn(d, name=f"query_attn_{i}")(
+            guided, _ = self.query_attns[i](
                 word_embedding, dynamic_question_embedding, question_len
             )
-            app_scores = QueryPunish(d, name=f"query_punish_appear_{i}")(guided, aq)
-            mot_scores = QueryPunish(d, name=f"query_punish_motion_{i}")(guided, mq)
+            app_scores = self.punish_appear[i](guided, aq)
+            mot_scores = self.punish_motion[i](guided, mq)
+
+            if fused:
+                appearance_feat = self._fused_cycle(
+                    aq, app_scores, self.ac_gats[i], self.appearance_gats[i],
+                    self.attention_appearance[i],
+                )
+                motion_feat = self._fused_cycle(
+                    mq, mot_scores, self.mc_gats[i], self.motion_gats[i],
+                    self.attention_motion[i],
+                )
+                # aux outputs (training-only consumers) reuse the stream
+                aq_embed = appearance_feat - aq
+                mq_embed = motion_feat - mq
+                aq_fusion_list.append(aq_embed)
+                com_app_list.append(aq_embed)
+                mq_fusion_list.append(mq_embed)
+                com_motion_list.append(mq_embed)
+                continue
 
             com_app = com_motion = None
             for j in range(self.graph_layers):
                 k = i * self.graph_layers + j  # fixed bank indexing
-                com_app = PunishGAT(
-                    4, d // 4, name=f"ac_gat_{k}"
-                )(aq, adj, app_scores, train=train)
-                aq = PunishGAT(
-                    4, d // 4, name=f"appearance_gat_{k}"
-                )(aq, adj, app_scores, train=train)
+                com_app = self.ac_gats[k](aq, adj, app_scores, train=train)
+                aq = self.appearance_gats[k](aq, adj, app_scores, train=train)
                 aq_fusion_list.append(aq)
                 com_app_list.append(com_app)
 
             for j in range(self.graph_layers):
                 k = i * self.graph_layers + j
-                com_motion = PunishGAT(
-                    4, d // 4, name=f"mc_gat_{k}"
-                )(mq, adj, mot_scores, train=train)
-                mq = PunishGAT(
-                    4, d // 4, name=f"motion_gat_{k}"
-                )(mq, adj, mot_scores, train=train)
+                com_motion = self.mc_gats[k](mq, adj, mot_scores, train=train)
+                mq = self.motion_gats[k](mq, adj, mot_scores, train=train)
                 mq_fusion_list.append(mq)
                 com_motion_list.append(com_motion)
 
             # common-vs-specific fusion (reference models.py:162-166)
-            aq_embed, _ = AttentionSFGCN(d, name=f"attention_appearance_{i}")(
-                jnp.stack([com_app, aq], axis=1)
-            )
-            mq_embed, _ = AttentionSFGCN(d, name=f"attention_motion_{i}")(
-                jnp.stack([com_motion, mq], axis=1)
-            )
+            aq_embed, _ = self.attention_appearance[i](jnp.stack([com_app, aq], axis=1))
+            mq_embed, _ = self.attention_motion[i](jnp.stack([com_motion, mq], axis=1))
             appearance_feat = appearance_feat + aq_embed
             motion_feat = motion_feat + mq_embed
 
-        visual = MFB(d, name="visual_fusion")(appearance_feat, motion_feat)
+        visual = self.visual_fusion(appearance_feat, motion_feat)
         return (
             visual,
             aq_embed,
@@ -156,6 +211,8 @@ class DualVGR(nn.Module):
     num_of_nodes: int = 8
     graph_layers: int = 1
     unit_layers: int = 2
+    # run the fused Pallas graph-reasoning cycle on the inference path
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -194,6 +251,7 @@ class DualVGR(nn.Module):
                 self.num_of_nodes,
                 self.graph_layers,
                 self.unit_layers,
+                self.use_pallas,
                 name="visual_input_unit",
             )(app, motion, dynamic, words, question_len, train=train)
         )

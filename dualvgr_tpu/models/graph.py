@@ -16,8 +16,11 @@ concat tensor (GraphNN.py:115-155). Because a([x||y]) = a_src . x +
 a_dst . y + b_a is additive, we compute two (B, H, N) projections and add
 them with a broadcast — never building the N^2 x 2d tensor — and we batch
 all H heads through one (768, H*192) matmul. Everything is dense matmuls +
-softmax over N <= 20 nodes; XLA fuses this tightly, and a fused Pallas
-cycle kernel (dualvgr_tpu/ops/gat_pallas.py) covers the full DualVGR cycle.
+softmax over N <= 20 nodes.
+
+Params are declared explicitly (``_declare``) so the fused Pallas cycle
+kernel (dualvgr_tpu/ops/gat_pallas.py) can consume the exact same weights
+on the inference path.
 """
 
 from __future__ import annotations
@@ -30,14 +33,31 @@ from dualvgr_tpu.models.init import xavier_uniform_fans
 
 
 class PunishGAT(nn.Module):
-    """Multi-head query-punished GAT (reference GraphNN.py:77-178)."""
+    """Multi-head query-punished GAT (reference GraphNN.py:77-178).
+
+    Params are declared in ``setup`` (not compact) so the parent unit stack
+    can read them directly (``gat.w_kernel``) and route them into the fused
+    Pallas cycle kernel while sharing the exact same weights.
+    """
 
     n_heads: int = 4
     head_dim: int = 192  # module_dim // 4
+    in_dim: int = 768
     dropout: float = 0.15
     alpha: float = 0.01  # LeakyReLU negative slope
 
-    @nn.compact
+    def setup(self):
+        nh, hd = self.n_heads, self.head_dim
+        # per-head torch Linear(768, 192): fans (768, 192); per-head a is a
+        # torch Linear(2*hd, 1): fans (2*hd, 1)
+        self.w_kernel = self.param(
+            "w_kernel", xavier_uniform_fans(self.in_dim, hd), (self.in_dim, nh, hd)
+        )
+        self.w_bias = self.param("w_bias", nn.initializers.zeros, (nh, hd))
+        self.a = self.param("a", xavier_uniform_fans(2 * hd, 1), (nh, 2 * hd))
+        self.a_bias = self.param("a_bias", nn.initializers.zeros, (nh,))
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, h, adj, scores, *, train: bool):
         """h: (B, N, D); adj: (N, N) (>0 everywhere in shipped configs);
         scores: (B, N, head_dim) punishment gates or None.
@@ -46,26 +66,14 @@ class PunishGAT(nn.Module):
         """
         b, n, d = h.shape
         nh, hd = self.n_heads, self.head_dim
+        w_kernel, w_bias, a, a_bias = self.w_kernel, self.w_bias, self.a, self.a_bias
 
-        x = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = self.drop(h, deterministic=not train)
 
-        # all heads in one (D, H*hd) matmul; per-head W has its own bias,
-        # matching nn.Linear(in_features, out_features) per head. Explicit
-        # per-head fans (768 -> 192) for xavier, independent of array shape.
-        wh = nn.DenseGeneral(
-            features=(nh, hd),
-            kernel_init=xavier_uniform_fans(d, hd),
-            name="w",
-        )(x)  # (B, N, H, hd)
+        # all heads in one (D, H*hd) matmul; per-head bias like nn.Linear
+        wh = jnp.einsum("bnd,dho->bnho", x, w_kernel) + w_bias  # (B, N, H, hd)
 
         # additive attention: a([Wh_i || Wh_j]) = src_i + dst_j + b_a
-        # per-head torch shape is (1, 2*hd) => fans (2*hd, 1)
-        a = self.param(
-            "a",
-            xavier_uniform_fans(2 * hd, 1),
-            (nh, 2 * hd),
-        )
-        a_bias = self.param("a_bias", nn.initializers.zeros, (nh,))
         a_src, a_dst = a[:, :hd], a[:, hd:]
         src = jnp.einsum("bnhd,hd->bhn", wh, a_src)
         dst = jnp.einsum("bnhd,hd->bhn", wh, a_dst)
@@ -80,11 +88,11 @@ class PunishGAT(nn.Module):
             wh = wh * scores[:, :, None, :]
 
         attn = jax.nn.softmax(e, axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        attn = self.drop(attn, deterministic=not train)
         out = jnp.einsum("bhij,bjhd->bihd", attn, wh)
         out = nn.elu(out)  # per-head ELU (concat=True path, GraphNN.py:110-111)
         out = out.reshape(b, n, nh * hd)
-        return nn.Dropout(self.dropout, deterministic=not train)(out)
+        return self.drop(out, deterministic=not train)
 
 
 class AttentionSFGCN(nn.Module):
@@ -93,20 +101,21 @@ class AttentionSFGCN(nn.Module):
     at models.py:103-104)."""
 
     hidden: int = 768
+    in_dim: int = 768
 
-    @nn.compact
+    def setup(self):
+        self.proj_kernel = self.param(
+            "proj_kernel", nn.initializers.xavier_uniform(), (self.in_dim, self.hidden)
+        )
+        self.proj_bias = self.param("proj_bias", nn.initializers.zeros, (self.hidden,))
+        self.score_kernel = self.param(
+            "score_kernel", nn.initializers.xavier_uniform(), (self.hidden, 1)
+        )
+
     def __call__(self, z):
         """z: (B, K, N, D) -> ((B, N, D), beta (B, K, N, 1))."""
-        w = nn.Dense(
-            self.hidden, kernel_init=nn.initializers.xavier_uniform(), name="proj"
-        )(z)
-        w = jnp.tanh(w)
-        w = nn.Dense(
-            1,
-            use_bias=False,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="score",
-        )(w)
+        w = jnp.tanh(z @ self.proj_kernel + self.proj_bias)
+        w = w @ self.score_kernel
         beta = jax.nn.softmax(w, axis=1)
         return (beta * z).sum(axis=1), beta
 

@@ -37,7 +37,7 @@ def test_punish_gat_matches_pairwise_concat_formulation(rng):
     scores = rng.rand(B, N, hd).astype(np.float32)
     adj = np.asarray(dense_self_loop_adjacency(N))
 
-    gat = PunishGAT(n_heads=H, head_dim=hd)
+    gat = PunishGAT(n_heads=H, head_dim=hd, in_dim=D)
     vars_ = gat.init(
         jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(adj), jnp.asarray(scores), train=False
     )
@@ -46,8 +46,8 @@ def test_punish_gat_matches_pairwise_concat_formulation(rng):
     )  # dropout off => deterministic
 
     p = vars_["params"]
-    kernel = np.asarray(p["w"]["kernel"])  # (D, H, hd)
-    bias = np.asarray(p["w"]["bias"])  # (H, hd)
+    kernel = np.asarray(p["w_kernel"])  # (D, H, hd)
+    bias = np.asarray(p["w_bias"])  # (H, hd)
     a = np.asarray(p["a"])  # (H, 2hd)
     ab = np.asarray(p["a_bias"])  # (H,)
 
@@ -69,7 +69,7 @@ def test_punishment_gates_values_not_logits(rng):
     B, N, D, H, hd = 2, 4, 8, 1, 8
     x = rng.randn(B, N, D).astype(np.float32)
     adj = np.asarray(dense_self_loop_adjacency(N))
-    gat = PunishGAT(n_heads=H, head_dim=hd)
+    gat = PunishGAT(n_heads=H, head_dim=hd, in_dim=D)
     ones = np.ones((B, N, hd), np.float32)
     vars_ = gat.init(jax.random.PRNGKey(1), jnp.asarray(x), jnp.asarray(adj), jnp.asarray(ones), train=False)
 
@@ -84,7 +84,7 @@ def test_attention_sfgcn(rng):
     the output is the weighted sum (reference Attention.py:11-23)."""
     B, K, N, D = 2, 2, 4, 8
     z = rng.randn(B, K, N, D).astype(np.float32)
-    m = AttentionSFGCN(hidden=D)
+    m = AttentionSFGCN(hidden=D, in_dim=D)
     vars_ = m.init(jax.random.PRNGKey(0), jnp.asarray(z))
     out, beta = m.apply(vars_, jnp.asarray(z))
     beta = np.asarray(beta)

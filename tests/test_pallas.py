@@ -1,0 +1,112 @@
+"""Fused Pallas DualVGR-cycle kernel: equivalence with the XLA composition.
+
+Runs in interpret mode on CPU (the driver benches the compiled kernel on
+real TPU hardware; see benchmarks/README.md).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dualvgr_tpu.models.graph import AttentionSFGCN, PunishGAT, dense_self_loop_adjacency
+from dualvgr_tpu.ops.gat_pallas import fused_gat_cycle
+
+
+def _setup(rng, B, N, D, H):
+    hd = D // H
+    h = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    scores = jnp.asarray(rng.rand(B, N, hd).astype(np.float32))
+    adj = dense_self_loop_adjacency(N)
+    gat_c = PunishGAT(H, hd, in_dim=D)
+    gat_s = PunishGAT(H, hd, in_dim=D)
+    sf = AttentionSFGCN(D, in_dim=D)
+    vc = gat_c.init(jax.random.PRNGKey(0), h, adj, scores, train=False)
+    vs = gat_s.init(jax.random.PRNGKey(1), h, adj, scores, train=False)
+    vf = sf.init(jax.random.PRNGKey(2), jnp.stack([h, h], 1))
+    return h, scores, adj, (gat_c, vc), (gat_s, vs), (sf, vf)
+
+
+def _kernel_args(D, H, hd, vc, vs, vf):
+    pc, ps, pf = vc["params"], vs["params"], vf["params"]
+
+    def flat(p):
+        return (
+            jnp.asarray(np.asarray(p["w_kernel"]).reshape(D, H * hd)),
+            jnp.asarray(np.asarray(p["w_bias"]).reshape(H * hd)),
+        )
+
+    wc, bc = flat(pc)
+    ws, bs_ = flat(ps)
+    return (
+        wc, bc, jnp.asarray(pc["a"]), jnp.asarray(pc["a_bias"]),
+        ws, bs_, jnp.asarray(ps["a"]), jnp.asarray(ps["a_bias"]),
+        jnp.asarray(pf["proj_kernel"]), jnp.asarray(pf["proj_bias"]),
+        jnp.asarray(pf["score_kernel"]),
+    )
+
+
+def test_fused_cycle_matches_xla_composition(rng):
+    B, N, D, H = 12, 5, 32, 4
+    hd = D // H
+    h, scores, adj, (gat_c, vc), (gat_s, vs), (sf, vf) = _setup(rng, B, N, D, H)
+
+    common = gat_c.apply(vc, h, adj, scores, train=False)
+    spec = gat_s.apply(vs, h, adj, scores, train=False)
+    fused, _ = sf.apply(vf, jnp.stack([common, spec], 1))
+    want = h + fused
+
+    got = fused_gat_cycle(
+        h, scores, *_kernel_args(D, H, hd, vc, vs, vf), block_b=4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_cycle_pads_ragged_batch(rng):
+    """B not divisible by block_b is padded internally and trimmed."""
+    B, N, D, H = 10, 4, 16, 4
+    hd = D // H
+    h, scores, adj, (gat_c, vc), (gat_s, vs), (sf, vf) = _setup(rng, B, N, D, H)
+    got = fused_gat_cycle(
+        h, scores, *_kernel_args(D, H, hd, vc, vs, vf), block_b=4, interpret=True
+    )
+    assert got.shape == (B, N, D)
+    common = gat_c.apply(vc, h, adj, scores, train=False)
+    spec = gat_s.apply(vs, h, adj, scores, train=False)
+    fused, _ = sf.apply(vf, jnp.stack([common, spec], 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(h + fused), atol=1e-5)
+
+
+def test_model_fused_flag_matches_xla(rng):
+    """DualVGR(use_pallas=True) eval logits == DualVGR(use_pallas=False)."""
+    from dualvgr_tpu.models import DualVGR
+
+    dims = dict(
+        vision_dim=20, module_dim=16, word_dim=10, question_vocab_size=30,
+        num_answers=9, num_of_nodes=4, graph_layers=1, unit_layers=2,
+    )
+    b, c, f, t = 4, 4, 3, 6
+    app = rng.randn(b, c, f, 20).astype(np.float32)
+    mot = rng.randn(b, c, 20).astype(np.float32)
+    q = rng.randint(1, 30, (b, t)).astype(np.int32)
+    qlen = rng.randint(1, t + 1, (b,)).astype(np.int32)
+
+    model = DualVGR(**dims)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(0)},
+        app, mot, q, qlen, train=False,
+    )
+    want = model.apply(variables, app, mot, q, qlen, train=False).logits
+
+    import dualvgr_tpu.ops.gat_pallas as gp
+    import functools
+
+    orig = gp.fused_gat_cycle
+    # run the fused path through the interpreter on CPU
+    gp.fused_gat_cycle = functools.partial(orig, interpret=True)
+    try:
+        fused_model = DualVGR(use_pallas=True, **dims)
+        got = fused_model.apply(variables, app, mot, q, qlen, train=False).logits
+    finally:
+        gp.fused_gat_cycle = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
