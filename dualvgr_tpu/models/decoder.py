@@ -85,3 +85,42 @@ class OutputUnitOpenEnded(nn.Module):
             kernel_init=nn.initializers.xavier_uniform(),
             name="classifier",
         )(out)
+
+
+class GateOutputUnitOpenEnded(nn.Module):
+    """GateOutputUnitOpenEnded (reference model/AnswerDecoder.py:204-225).
+
+    Unused by the shipped model (provided for component parity): a learned
+    sigmoid-free multiplicative gate over the [visual, q'] concat before the
+    same classifier stack.
+    """
+
+    module_dim: int = 768
+    num_answers: int = 1000
+
+    @nn.compact
+    def __call__(self, question_embedding, visual_embedding, valid=None, *, train: bool):
+        q = nn.Dense(
+            self.module_dim,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="question_proj",
+        )(question_embedding)
+        out = jnp.concatenate([visual_embedding, q], axis=1)
+        gate = nn.Dense(
+            2 * self.module_dim,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="gate",
+        )(out)
+        out = gate * out
+        out = nn.Dropout(0.15, deterministic=not train)(out)
+        out = nn.Dense(
+            self.module_dim, kernel_init=nn.initializers.xavier_uniform(), name="fc1"
+        )(out)
+        out = nn.elu(out)
+        out = MaskedBatchNorm(name="bn")(out, valid, train=train)
+        out = nn.Dropout(0.15, deterministic=not train)(out)
+        return nn.Dense(
+            self.num_answers,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="classifier",
+        )(out)

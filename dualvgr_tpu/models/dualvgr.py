@@ -38,7 +38,12 @@ from dualvgr_tpu.models.attention import ContextSelfAttn, QueryAttn, QueryPunish
 from dualvgr_tpu.models.decoder import OutputUnitOpenEnded
 from dualvgr_tpu.models.encoders import AppearanceEncoder, MotionEncoder, QuestionEncoder
 from dualvgr_tpu.models.fusion import MFB
-from dualvgr_tpu.models.graph import AttentionSFGCN, PunishGAT, dense_self_loop_adjacency
+from dualvgr_tpu.models.graph import (
+    AttentionSFGCN,
+    PunishGAT,
+    PunishGCN,
+    dense_self_loop_adjacency,
+)
 
 
 class DualVGROutput(NamedTuple):
@@ -77,6 +82,7 @@ class DualVGRUnitStack(nn.Module):
     graph_layers: int = 1
     unit_layers: int = 2
     use_pallas: bool = False
+    graph_module: str = "GAT"  # 'GAT' (reference-live) or 'GCN' (fixed, see PunishGCN)
 
     def setup(self):
         d = self.module_dim
@@ -88,7 +94,12 @@ class DualVGRUnitStack(nn.Module):
         self.punish_motion = [
             QueryPunish(d, name=f"query_punish_motion_{i}") for i in range(u)
         ]
-        mk_gat = lambda name: PunishGAT(4, d // 4, in_dim=d, name=name)
+        if self.graph_module == "GAT":
+            mk_gat = lambda name: PunishGAT(4, d // 4, in_dim=d, name=name)
+        elif self.graph_module == "GCN":
+            mk_gat = lambda name: PunishGCN(d, name=name)
+        else:
+            raise ValueError(f"unknown graph_module {self.graph_module!r}")
         self.ac_gats = [mk_gat(f"ac_gat_{k}") for k in range(u * g)]
         self.appearance_gats = [mk_gat(f"appearance_gat_{k}") for k in range(u * g)]
         self.mc_gats = [mk_gat(f"mc_gat_{k}") for k in range(u * g)]
@@ -128,9 +139,14 @@ class DualVGRUnitStack(nn.Module):
     ):
         d = self.module_dim
         adj = dense_self_loop_adjacency(self.num_of_nodes, appearance_feat.dtype)
-        # the fused kernel covers exactly one (common, specific, fuse,
-        # residual) cycle; multi-graph-layer stacks fall back to XLA
-        fused = self.use_pallas and not train and self.graph_layers == 1
+        # the fused kernel covers exactly one GAT (common, specific, fuse,
+        # residual) cycle; multi-graph-layer stacks and GCN fall back to XLA
+        fused = (
+            self.use_pallas
+            and not train
+            and self.graph_layers == 1
+            and self.graph_module == "GAT"
+        )
 
         aq_fusion_list, mq_fusion_list = [], []
         com_app_list, com_motion_list = [], []
@@ -213,6 +229,7 @@ class DualVGR(nn.Module):
     unit_layers: int = 2
     # run the fused Pallas graph-reasoning cycle on the inference path
     use_pallas: bool = False
+    graph_module: str = "GAT"
 
     @nn.compact
     def __call__(
@@ -252,6 +269,7 @@ class DualVGR(nn.Module):
                 self.graph_layers,
                 self.unit_layers,
                 self.use_pallas,
+                self.graph_module,
                 name="visual_input_unit",
             )(app, motion, dynamic, words, question_len, train=train)
         )

@@ -107,6 +107,83 @@ class AppearanceEncoder(nn.Module):
         return final.reshape(b, c, self.module_dim)
 
 
+class SimpleQuestionEncoder(nn.Module):
+    """InputUnitLinguistic (reference model/Preprocessing.py:47-86).
+
+    Single-BiLSTM variant (unused by the shipped model, provided for
+    component parity): ONE shared BiLSTM supplies both the per-step outputs
+    and the final-state sentence embedding.
+    """
+
+    vocab_size: int
+    word_dim: int = 300
+    module_dim: int = 768
+
+    @nn.compact
+    def __call__(self, question, question_len, *, train: bool):
+        embed = nn.Embed(
+            self.vocab_size,
+            self.word_dim,
+            embedding_init=lambda k, s, d=jnp.float32: jax.random.uniform(
+                k, s, d, minval=-1.0, maxval=1.0
+            ),
+            name="encoder_embed",
+        )
+        words = embed(question)
+        words = nn.Dropout(0.15, deterministic=not train)(words)
+        words = jnp.tanh(words)
+        outputs, final = BiLSTM(self.module_dim // 2, name="concat_rnn")(
+            words, question_len
+        )
+        question_embedding = nn.Dropout(0.18, deterministic=not train)(final)
+        return question_embedding, words, outputs
+
+
+class MultiGranularQuestionEncoder(nn.Module):
+    """MultiGranularInputUnitLinguistic (reference Preprocessing.py:129-189).
+
+    Word / phrase (1-2-3-gram dilated convs + max pool) / sentence
+    granularities concatenated, then a BiLSTM over the concat. Unused by the
+    shipped model; provided for component parity.
+    """
+
+    vocab_size: int
+    word_dim: int = 300
+    module_dim: int = 512
+
+    @nn.compact
+    def __call__(self, question, question_len, *, train: bool):
+        d = self.module_dim
+        embed = nn.Embed(
+            self.vocab_size,
+            self.word_dim,
+            embedding_init=lambda k, s, dt=jnp.float32: jax.random.uniform(
+                k, s, dt, minval=-1.0, maxval=1.0
+            ),
+            name="encoder_embed",
+        )
+        words = embed(question)  # (B, T, word_dim)
+        words = nn.Dropout(0.15, deterministic=not train)(words)
+        words = jnp.tanh(words)
+
+        # length-preserving n-gram convs (torch Conv1d k/p/d = 1/0/1, 2/1/2, 3/2/2)
+        conv = lambda k, pad, dil, name: nn.Conv(
+            d, (k,), padding=((pad, pad),), kernel_dilation=(dil,),
+            kernel_init=nn.initializers.xavier_uniform(), name=name,
+        )
+        uni = conv(1, 0, 1, "unigram_conv")(words)
+        bi = conv(2, 1, 2, "bigram_conv")(words)
+        tri = conv(3, 2, 2, "trigram_conv")(words)
+        phrase = jnp.max(jnp.stack([uni, bi, tri], axis=2), axis=2)  # (B, T, d)
+
+        sentence, _ = BiLSTM(d // 2, name="encoder")(phrase)
+        concat = jnp.concatenate([words, phrase, sentence], axis=2)
+        dynamic, final = BiLSTM(d, name="concat_rnn")(concat, question_len)
+        dynamic = nn.Dropout(0.15, deterministic=not train)(dynamic)
+        final = nn.Dropout(0.15, deterministic=not train)(final)
+        return final, words, dynamic
+
+
 class MotionEncoder(nn.Module):
     """Linear 2048 -> module_dim (reference models.py:46,74)."""
 

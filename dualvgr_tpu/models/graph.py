@@ -120,6 +120,61 @@ class AttentionSFGCN(nn.Module):
         return (beta * z).sum(axis=1), beta
 
 
+class GraphConvolution(nn.Module):
+    """Kipf-style GCN layer: adj @ (x @ W) (reference GraphNN.py:9-46).
+
+    Init matches the reference's uniform(-1/sqrt(out), 1/sqrt(out)).
+    """
+
+    in_features: int
+    out_features: int
+    use_bias: bool = False
+
+    def setup(self):
+        stdv = 1.0 / (self.out_features ** 0.5)
+
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+
+        self.weight = self.param("weight", init, (self.in_features, self.out_features))
+        self.bias = (
+            self.param("bias", init, (self.out_features,)) if self.use_bias else None
+        )
+
+    def __call__(self, x, adj):
+        support = x @ self.weight
+        out = jnp.einsum("nm,...md->...nd", adj, support)
+        return out + self.bias if self.bias is not None else out
+
+
+class PunishGCN(nn.Module):
+    """GCN-flavored punished graph module for ``graph_module: 'GCN'``.
+
+    The reference declares the 'GCN' option (config.py:15) but never
+    constructs the modules for it, so selecting it crashes at forward
+    (models.py:94-100 builds only the GAT banks). This makes the option
+    functional: relu(adj @ ((x * scores) @ W)) with dropout, where the
+    per-clip punishment scalar (QueryPunish's sigmoid, model/utils.py:92-105)
+    gates the node features before aggregation — the same role it plays in
+    PunishGraphAttentionLayer (GraphNN.py:102-108).
+    """
+
+    dim: int = 768
+    dropout: float = 0.15
+
+    def setup(self):
+        self.gc = GraphConvolution(self.dim, self.dim, name="gc1")
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, h, adj, scores, *, train: bool):
+        if scores is not None:
+            # scores arrive broadcast to head_dim (B, N, dim//4); the gate is
+            # the same per-clip scalar in every column — take one column
+            h = h * scores[..., :1]
+        x = nn.relu(self.gc(h, adj))
+        return self.drop(x, deterministic=not train)
+
+
 def dense_self_loop_adjacency(num_nodes: int, dtype=jnp.float32):
     """The reference's clip-graph adjacency (models.py:114-119).
 

@@ -44,6 +44,8 @@ def build_model(cfg, vocab) -> DualVGR:
         num_of_nodes=cfg.train.num_of_nodes,
         graph_layers=cfg.graph_layers,
         unit_layers=cfg.unit_layers,
+        graph_module=cfg.graph_module,
+        use_pallas=cfg.tpu.use_pallas,
     )
 
 

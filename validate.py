@@ -74,6 +74,8 @@ def main(argv=None):
         num_of_nodes=kw["num_of_nodes"],
         graph_layers=kw["graph_layers"],
         unit_layers=args.unit_layers,
+        graph_module=kw.get("graph_module", "GAT"),
+        use_pallas=cfg.tpu.use_pallas,
     )
 
     first = next(iter(test_loader))
