@@ -58,6 +58,9 @@ def main():
         num_of_nodes=16,
         graph_layers=1,
         unit_layers=1,
+        # fused Pallas kernels on the inference path (GAT cycle + BiLSTM
+        # recurrence); numerically equivalent to the XLA composition
+        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
     )
     rng = np.random.RandomState(0)
     app = rng.randn(batch, 16, 16, 2048).astype(np.float32)

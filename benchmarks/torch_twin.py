@@ -122,8 +122,9 @@ class TorchDualVGR(nn.Module):
         adj = np.full((n, n), 1.0 / (n + 1), np.float32) + np.eye(n, dtype=np.float32) / (n + 1)
         self.register_buffer("adj", torch.from_numpy(adj))
 
-    def forward(self, app, motion, question, qlen):
+    def forward(self, app, motion, question, qlen, return_aux=False):
         b, c, f, vd = app.shape
+        aq_list, mq_list, com_app_list, com_mot_list = [], [], [], []
         t = question.shape[1]
         words = torch.tanh(self.embedding(question))
 
@@ -160,10 +161,14 @@ class TorchDualVGR(nn.Module):
                 k = i * self.graph_layers + j
                 com_app = self.ac_gat[k](aq, self.adj, scores_a)
                 aq = self.app_gat[k](aq, self.adj, scores_a)
+                aq_list.append(aq)
+                com_app_list.append(com_app)
             for j in range(self.graph_layers):
                 k = i * self.graph_layers + j
                 com_mot = self.mc_gat[k](mq, self.adj, scores_m)
                 mq = self.mot_gat[k](mq, self.adj, scores_m)
+                mq_list.append(mq)
+                com_mot_list.append(com_mot)
 
             aq_embed = self.attn_app[i](torch.stack([com_app, aq], 1))
             mq_embed = self.attn_mot[i](torch.stack([com_mot, mq], 1))
@@ -178,7 +183,10 @@ class TorchDualVGR(nn.Module):
         q = self.question_proj(q_embed)
         out = torch.cat([visual, q], 1)
         out = self.bn(F.elu(self.fc1(out)))
-        return self.classifier_out(out)
+        logits = self.classifier_out(out)
+        if return_aux:
+            return logits, com_app_list, com_mot_list, aq_list, mq_list
+        return logits
 
 
 def _copy_linear(dst: nn.Linear, kernel, bias=None):
@@ -194,8 +202,8 @@ def _copy_lstm(dst: nn.LSTM, p, reverse_suffix=True):
         for sfx, d in (("", "fwd"), ("_reverse", "bwd")):
             sd[f"weight_ih_l0{sfx}"].copy_(torch.from_numpy(np.asarray(p[f"w_ih_{d}"])).T)
             sd[f"weight_hh_l0{sfx}"].copy_(torch.from_numpy(np.asarray(p[f"w_hh_{d}"])).T)
-            sd[f"bias_ih_l0{sfx}"].copy_(torch.from_numpy(np.asarray(p[f"b_{d}"])))
-            sd[f"bias_hh_l0{sfx}"].zero_()
+            sd[f"bias_ih_l0{sfx}"].copy_(torch.from_numpy(np.asarray(p[f"b_ih_{d}"])))
+            sd[f"bias_hh_l0{sfx}"].copy_(torch.from_numpy(np.asarray(p[f"b_hh_{d}"])))
 
 
 def load_flax_params(twin: TorchDualVGR, params, batch_stats) -> None:

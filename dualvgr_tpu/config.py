@@ -106,6 +106,9 @@ def default_config() -> Config:
             "prefetch": 2,
             # use the fused Pallas DualVGR-cycle kernel when on TPU.
             "use_pallas": False,
+            # fetch metrics / refresh the ticker every N steps (each fetch is
+            # a device->host sync; 1 matches the reference's per-step ticker).
+            "log_every": 1,
         },
     })
     return c

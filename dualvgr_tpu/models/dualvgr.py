@@ -254,9 +254,9 @@ class DualVGR(nn.Module):
             name="linguistic_input_unit",
         )(question, question_len, train=train)
 
-        app = AppearanceEncoder(self.module_dim, name="visual_appearance_input_unit")(
-            video_appearance_feat, train=train
-        )
+        app = AppearanceEncoder(
+            self.module_dim, self.use_pallas, name="visual_appearance_input_unit"
+        )(video_appearance_feat, train=train)
         motion = MotionEncoder(self.module_dim, name="visual_motion_input_unit")(
             video_motion_feat
         )

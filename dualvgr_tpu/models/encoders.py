@@ -26,12 +26,19 @@ from dualvgr_tpu.ops.lstm import LSTMParams, _xavier_uniform_torch_shape, bilstm
 
 
 class BiLSTM(nn.Module):
-    """Bidirectional masked LSTM over (B, T, D) with torch-compatible params."""
+    """Bidirectional masked LSTM over (B, T, D) with torch-compatible params.
+
+    ``fused_final=True`` (valid only for full-length sequences where only the
+    final states are consumed — the appearance encoder) runs the recurrence
+    through the fused Pallas kernel (dualvgr_tpu/ops/lstm_pallas.py): the
+    MXU-peak input projection stays in XLA, the 2*T sequential recurrent
+    matmuls + gate transcendentals fuse into one kernel.
+    """
 
     hidden: int  # per-direction hidden size
 
     @nn.compact
-    def __call__(self, x, lengths=None):
+    def __call__(self, x, lengths=None, *, fused_final: bool = False):
         d = x.shape[-1]
         h = self.hidden
 
@@ -44,10 +51,22 @@ class BiLSTM(nn.Module):
                 f"w_hh_{name_suffix}",
                 lambda k: _xavier_uniform_torch_shape(k, (4 * h, h)),
             )
-            b = self.param(f"b_{name_suffix}", nn.initializers.zeros, (4 * h,))
-            return LSTMParams(w_ih, w_hh, b)
+            # two bias vectors like torch LSTM: identical gradients double the
+            # effective Adam bias step (training-dynamics parity)
+            b_ih = self.param(f"b_ih_{name_suffix}", nn.initializers.zeros, (4 * h,))
+            b_hh = self.param(f"b_hh_{name_suffix}", nn.initializers.zeros, (4 * h,))
+            return LSTMParams(w_ih, w_hh, b_ih, b_hh)
 
         fwd, bwd = make("fwd"), make("bwd")
+        if fused_final and lengths is None and not self.is_initializing():
+            from dualvgr_tpu.ops.lstm_pallas import bilstm_final_pallas
+
+            b_, t, _ = x.shape
+            x2 = x.reshape(b_ * t, d)
+            xf = (x2 @ fwd.w_ih + fwd.b).reshape(b_, t, 4 * h).transpose(1, 0, 2)
+            xb = (x2 @ bwd.w_ih + bwd.b).reshape(b_, t, 4 * h).transpose(1, 0, 2)[::-1]
+            final = bilstm_final_pallas(xf, xb, fwd.w_hh, bwd.w_hh)
+            return None, final
         return bilstm(fwd, bwd, x, lengths)
 
 
@@ -93,6 +112,7 @@ class AppearanceEncoder(nn.Module):
     """VisualAppearanceEncoder (reference model/Preprocessing.py:191-234)."""
 
     module_dim: int = 768
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, clips, *, train: bool):
@@ -102,7 +122,9 @@ class AppearanceEncoder(nn.Module):
         x = jnp.tanh(x)
         # fold clips into the batch: each clip is one length-F sequence
         x = x.reshape(b * c, f, d)
-        _, final = BiLSTM(self.module_dim // 2, name="encoder")(x)
+        _, final = BiLSTM(self.module_dim // 2, name="encoder")(
+            x, fused_final=self.use_pallas and not train
+        )
         final = nn.Dropout(0.18, deterministic=not train)(final)
         return final.reshape(b, c, self.module_dim)
 

@@ -35,12 +35,20 @@ class LSTMParams(NamedTuple):
 
     w_ih: (input_dim, 4*hidden)  — transpose of torch's weight_ih_l0
     w_hh: (hidden, 4*hidden)     — transpose of torch's weight_hh_l0
-    b:    (4*hidden,)            — torch's bias_ih_l0 + bias_hh_l0
+    b_ih, b_hh: (4*hidden,)      — torch's two bias vectors, kept SEPARATE:
+        they receive identical gradients, so under Adam the effective bias
+        step is doubled vs a single fused bias — matching the reference's
+        training dynamics requires both (tests/test_training_parity.py).
     """
 
     w_ih: jax.Array
     w_hh: jax.Array
-    b: jax.Array
+    b_ih: jax.Array
+    b_hh: jax.Array
+
+    @property
+    def b(self) -> jax.Array:
+        return self.b_ih + self.b_hh
 
 
 def _xavier_uniform_torch_shape(key, torch_shape, dtype=jnp.float32):
@@ -61,8 +69,14 @@ def init_lstm_params(key, input_dim: int, hidden: int, dtype=jnp.float32) -> LST
     k1, k2 = jax.random.split(key)
     w_ih = _xavier_uniform_torch_shape(k1, (4 * hidden, input_dim), dtype)
     w_hh = _xavier_uniform_torch_shape(k2, (4 * hidden, hidden), dtype)
-    b = jnp.zeros((4 * hidden,), dtype)
-    return LSTMParams(w_ih, w_hh, b)
+    zeros = jnp.zeros((4 * hidden,), dtype)
+    return LSTMParams(w_ih, w_hh, zeros, zeros)
+
+
+# scan unroll factor: unrolling the 16-step recurrences lets XLA pipeline the
+# small (rows, H) @ (H, 4H) matmuls with the elementwise gate math instead of
+# paying per-iteration loop overhead; 16-frame clips unroll fully.
+SCAN_UNROLL = 4
 
 
 def _scan_direction(params: LSTMParams, xproj, mask, reverse: bool):
@@ -94,7 +108,9 @@ def _scan_direction(params: LSTMParams, xproj, mask, reverse: bool):
         c = m * c + (1.0 - m) * c_prev
         return (h, c), h * m  # zero per-step output at padding
 
-    (h_final, _), outs = jax.lax.scan(step, (h0, c0), (xproj, mask), reverse=reverse)
+    (h_final, _), outs = jax.lax.scan(
+        step, (h0, c0), (xproj, mask), reverse=reverse, unroll=SCAN_UNROLL
+    )
     return outs, h_final
 
 

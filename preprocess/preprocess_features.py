@@ -200,16 +200,24 @@ def generate_h5(args, video_paths):
         else build_motion_extractor(args.ckpt, mesh)
     )
 
-    # threaded decode pipeline
-    q: queue.Queue = queue.Queue(maxsize=args.videos_per_batch * 2)
+    # threaded decode pipeline: a pool of decoder threads (cv2 releases the
+    # GIL) feeding the device in submission order
+    q: queue.Queue = queue.Queue(maxsize=max(args.videos_per_batch * 2, args.decode_threads * 2))
     sentinel = object()
 
     def producer():
-        for path, vid in video_paths:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def decode(item):
+            path, vid = item
             clips, valid = extract_clips_with_consecutive_frames(
                 path, args.num_clips, f, image_size, motion_layout=not appearance
             )
-            q.put((vid, clips, valid))
+            return vid, clips, valid
+
+        with ThreadPoolExecutor(max_workers=max(args.decode_threads, 1)) as pool:
+            for result in pool.map(decode, video_paths):
+                q.put(result)
         q.put(sentinel)
 
     threading.Thread(target=producer, daemon=True).start()
@@ -301,6 +309,7 @@ def main(argv=None):
                         help="torch .pth weights (torchvision resnet101 / Kinetics resnext-101)")
     parser.add_argument("--outfile", type=str, default="data/{dataset}/{dataset}_{type}_feat.h5")
     parser.add_argument("--videos_per_batch", type=int, default=4)
+    parser.add_argument("--decode_threads", type=int, default=8)
     parser.add_argument("--seed", type=int, default=666)
     args = parser.parse_args(argv)
 

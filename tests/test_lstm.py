@@ -21,11 +21,11 @@ def _params_from_torch(m, reverse=False):
     sfx = "_reverse" if reverse else ""
     w_ih = m.state_dict()[f"weight_ih_l0{sfx}"].numpy()  # (4H, D)
     w_hh = m.state_dict()[f"weight_hh_l0{sfx}"].numpy()  # (4H, H)
-    b = (
-        m.state_dict()[f"bias_ih_l0{sfx}"].numpy()
-        + m.state_dict()[f"bias_hh_l0{sfx}"].numpy()
+    b_ih = m.state_dict()[f"bias_ih_l0{sfx}"].numpy()
+    b_hh = m.state_dict()[f"bias_hh_l0{sfx}"].numpy()
+    return LSTMParams(
+        jnp.asarray(w_ih.T), jnp.asarray(w_hh.T), jnp.asarray(b_ih), jnp.asarray(b_hh)
     )
-    return LSTMParams(jnp.asarray(w_ih.T), jnp.asarray(w_hh.T), jnp.asarray(b))
 
 
 def test_forward_full_length_matches_torch(rng):

@@ -80,9 +80,6 @@ def test_every_parameter_is_consumed_by_twin(rng):
         vision_dim=12, module_dim=8, word_dim=6, vocab_size=20, num_answers=9,
         num_of_nodes=3, graph_layers=1, unit_layers=1,
     )
-    # torch LSTMs carry an extra (zeroed) bias vector per direction: 4H * 2 dirs
+    # both sides carry torch's two LSTM bias vectors per direction
     n_torch = sum(p.numel() for p in twin.parameters())
-    extra_bias = sum(
-        2 * m.hidden_size * 4 for m in (twin.concat_rnn, twin.encoder, twin.app_rnn)
-    )
-    assert n_torch - extra_bias == n_flax
+    assert n_torch == n_flax

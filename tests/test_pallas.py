@@ -77,6 +77,25 @@ def test_fused_cycle_pads_ragged_batch(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(h + fused), atol=1e-5)
 
 
+def test_fused_bilstm_final_matches_scan(rng):
+    """Pallas BiLSTM final-state kernel == masked-scan bilstm, incl. ragged
+    row counts (interpret mode)."""
+    from dualvgr_tpu.ops.lstm import init_lstm_params, bilstm
+    from dualvgr_tpu.ops.lstm_pallas import bilstm_final_pallas
+
+    R, T, D, H = 20, 7, 12, 8
+    x = jnp.asarray(rng.randn(R, T, D).astype(np.float32))
+    fwd = init_lstm_params(jax.random.PRNGKey(0), D, H)
+    bwd = init_lstm_params(jax.random.PRNGKey(1), D, H)
+    _, want = bilstm(fwd, bwd, x)
+
+    x2 = x.reshape(R * T, D)
+    xf = (x2 @ fwd.w_ih + fwd.b).reshape(R, T, 4 * H).transpose(1, 0, 2)
+    xb = (x2 @ bwd.w_ih + bwd.b).reshape(R, T, 4 * H).transpose(1, 0, 2)[::-1]
+    got = bilstm_final_pallas(xf, xb, fwd.w_hh, bwd.w_hh, block_r=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_model_fused_flag_matches_xla(rng):
     """DualVGR(use_pallas=True) eval logits == DualVGR(use_pallas=False)."""
     from dualvgr_tpu.models import DualVGR
@@ -99,14 +118,18 @@ def test_model_fused_flag_matches_xla(rng):
     want = model.apply(variables, app, mot, q, qlen, train=False).logits
 
     import dualvgr_tpu.ops.gat_pallas as gp
+    import dualvgr_tpu.ops.lstm_pallas as lp
     import functools
 
-    orig = gp.fused_gat_cycle
-    # run the fused path through the interpreter on CPU
-    gp.fused_gat_cycle = functools.partial(orig, interpret=True)
+    orig_gat = gp.fused_gat_cycle
+    orig_lstm = lp.bilstm_final_pallas
+    # run both fused paths through the interpreter on CPU
+    gp.fused_gat_cycle = functools.partial(orig_gat, interpret=True)
+    lp.bilstm_final_pallas = functools.partial(orig_lstm, interpret=True)
     try:
         fused_model = DualVGR(use_pallas=True, **dims)
         got = fused_model.apply(variables, app, mot, q, qlen, train=False).logits
     finally:
-        gp.fused_gat_cycle = orig
+        gp.fused_gat_cycle = orig_gat
+        lp.bilstm_final_pallas = orig_lstm
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

@@ -143,7 +143,9 @@ def train(cfg):
     logging.info("Start training........")
     for epoch in range(start_epoch, cfg.train.max_epochs):
         logging.info(">>>>>> epoch %d <<<<<<", epoch)
-        total_correct, total_count, total_loss = 0, 0, 0.0
+        total_correct, total_count, total_loss, logged_steps = 0, 0, 0.0, 0
+        log_every = max(int(cfg.tpu.get("log_every", 1)), 1)
+        pending = []  # metrics fetched lazily so the device never idles
         for i, batch in enumerate(train_loader):
             device_batch = shard_batch(
                 (
@@ -158,21 +160,24 @@ def train(cfg):
                 cfg.tpu.mesh_axis,
             )
             state, metrics = step_fn(state, device_batch)
-            loss = float(metrics["loss"])
-            correct = float(metrics["correct"])
-            count = int(metrics["count"])
-            total_loss += loss
-            total_correct += correct
-            total_count += count
-            progress = epoch + (i + 1) / steps_per_epoch
-            train_ticker(
-                progress,
-                float(metrics["ce"]),
-                total_loss / (i + 1),
-                correct / max(count, 1),
-                total_correct / max(total_count, 1),
-                cfg.exp_name,
-            )
+            pending.append(metrics)
+            if (i + 1) % log_every == 0 or (i + 1) == steps_per_epoch:
+                for m in pending:
+                    total_loss += float(m["loss"])
+                    total_correct += float(m["correct"])
+                    total_count += int(m["count"])
+                    logged_steps += 1
+                last = pending[-1]
+                pending = []
+                progress = epoch + (i + 1) / steps_per_epoch
+                train_ticker(
+                    progress,
+                    float(last["ce"]),
+                    total_loss / max(logged_steps, 1),
+                    float(last["correct"]) / max(int(last["count"]), 1),
+                    total_correct / max(total_count, 1),
+                    cfg.exp_name,
+                )
         sys.stdout.write("\n")
         logging.info(
             "Epoch = %d   avg_loss = %.3f    avg_acc = %.3f",
