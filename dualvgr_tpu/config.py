@@ -109,6 +109,8 @@ def default_config() -> Config:
             # fetch metrics / refresh the ticker every N steps (each fetch is
             # a device->host sync; 1 matches the reference's per-step ticker).
             "log_every": 1,
+            # write a jax.profiler trace of training steps here ('' = off).
+            "profile_dir": "",
         },
     })
     return c

@@ -24,6 +24,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up: call ``jax.distributed.initialize`` when a
+    coordinator is configured, so ``jax.devices()`` spans all hosts and the
+    same data mesh scales DP across DCN. No-op (returns False) on a single
+    host. Safe to call more than once.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        try:
+            jax.distributed.initialize()
+            return True
+        except RuntimeError:
+            return True  # already initialized
+    return False
+
+
 def data_mesh(axis_name: str = "data", devices=None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     devices = jax.devices() if devices is None else devices
@@ -60,3 +79,32 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def prefetch_to_device(iterator, mesh: Mesh, axis_name: str = "data", size: int = 2):
+    """Keep ``size`` batches in flight to the device ahead of consumption.
+
+    ``jax.device_put`` is asynchronous, so enqueueing the next batches while
+    the current one computes overlaps the host->device transfer (134 MB per
+    flagship batch) with device compute — the standard input-pipeline
+    pattern for feeding TPUs.
+    """
+    import collections
+
+    buf = collections.deque()
+    it = iter(iterator)
+
+    def enqueue():
+        try:
+            buf.append(shard_batch(next(it), mesh, axis_name))
+            return True
+        except StopIteration:
+            return False
+
+    for _ in range(max(size, 1)):
+        if not enqueue():
+            break
+    while buf:
+        batch = buf.popleft()
+        enqueue()
+        yield batch

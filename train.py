@@ -29,7 +29,7 @@ from dualvgr_tpu.config import cfg_from_file, resolve_dataset_paths
 from dualvgr_tpu.data import VideoQADataLoader
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib, validate_lib
-from dualvgr_tpu.parallel import data_mesh, replicate, shard_batch
+from dualvgr_tpu.parallel import data_mesh, prefetch_to_device, replicate, shard_batch
 from dualvgr_tpu.utils import setup_logging, train_ticker
 from dualvgr_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 
@@ -96,6 +96,10 @@ def train(cfg):
         logging.info("number of val instances: %d", val_loader.num_samples)
 
     logging.info("Create model.........")
+    from dualvgr_tpu.parallel import maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        logging.info("jax.distributed initialized (multi-host)")
     mesh = data_mesh(cfg.tpu.mesh_axis)
     logging.info("device mesh: %s over %s", mesh.shape, jax.devices()[0].platform)
     model = build_model(cfg, train_loader.vocab)
@@ -140,25 +144,35 @@ def train(cfg):
     best_cats = None
     cat_names = validate_lib.category_names(cfg.dataset.name)
 
+    profile_dir = cfg.tpu.get("profile_dir", "")
+    profiling = False
+
     logging.info("Start training........")
     for epoch in range(start_epoch, cfg.train.max_epochs):
+        if profile_dir and epoch == start_epoch + 1 and not profiling:
+            # trace the 2nd epoch (1st is compile-dominated)
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         logging.info(">>>>>> epoch %d <<<<<<", epoch)
         total_correct, total_count, total_loss, logged_steps = 0, 0, 0.0, 0
         log_every = max(int(cfg.tpu.get("log_every", 1)), 1)
         pending = []  # metrics fetched lazily so the device never idles
-        for i, batch in enumerate(train_loader):
-            device_batch = shard_batch(
-                (
-                    batch.appearance_feat,
-                    batch.motion_feat,
-                    batch.question,
-                    batch.question_len,
-                    batch.answer,
-                    batch.valid,
-                ),
-                mesh,
-                cfg.tpu.mesh_axis,
-            )
+
+        def host_batches():
+            for b in train_loader:
+                yield (
+                    b.appearance_feat,
+                    b.motion_feat,
+                    b.question,
+                    b.question_len,
+                    b.answer,
+                    b.valid,
+                )
+
+        device_batches = prefetch_to_device(
+            host_batches(), mesh, cfg.tpu.mesh_axis, size=cfg.tpu.prefetch
+        )
+        for i, device_batch in enumerate(device_batches):
             state, metrics = step_fn(state, device_batch)
             pending.append(metrics)
             if (i + 1) % log_every == 0 or (i + 1) == steps_per_epoch:
@@ -185,6 +199,11 @@ def train(cfg):
             total_loss / max(steps_per_epoch, 1),
             total_correct / max(total_count, 1),
         )
+
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            logging.info("wrote profiler trace to %s", profile_dir)
 
         if cfg.val.flag and val_loader is not None:
             valid_acc, *cat_accs = validate_lib.validate(
