@@ -195,3 +195,14 @@ def jit_train_step(model, optimizer, alpha, beta, *, donate=True):
 
 def jit_eval_step(model):
     return jax.jit(functools.partial(eval_step, model=model))
+
+
+def jit_pred_step(model):
+    """Eval forward + on-device argmax: fetches (B,) answer ids instead of
+    the full (B, num_answers) logits — the host only ever needs predictions
+    (reference validate.py:59)."""
+
+    def pred(state, batch):
+        return jnp.argmax(eval_step(state, batch, model=model), axis=1)
+
+    return jax.jit(pred)

@@ -36,30 +36,54 @@ def _safe_div(a, b):
     return float(a) / float(b) if b else 0.0
 
 
+def _prefetch_pairs(pair_iter, mesh):
+    """Device-prefetch the input tuples of (inputs, host_batch) pairs."""
+    from dualvgr_tpu.parallel.mesh import shard_batch
+
+    import collections
+
+    buf = collections.deque()
+    it = iter(pair_iter)
+
+    def enqueue():
+        try:
+            inputs, b = next(it)
+            buf.append((shard_batch(inputs, mesh), b))
+            return True
+        except StopIteration:
+            return False
+
+    for _ in range(2):
+        if not enqueue():
+            break
+    while buf:
+        item = buf.popleft()
+        enqueue()
+        yield item
+
+
 def validate(cfg, eval_fn, state, loader, write_preds: bool = False, mesh=None):
     """Run a full eval pass.
 
-    eval_fn(state, (app, motion, question, qlen)) -> logits. Batches come
-    from a VideoQADataLoader; padded rows (valid == 0) are excluded from all
+    eval_fn(state, (app, motion, question, qlen)) -> logits (B, A) or
+    already-argmaxed predictions (B,) (jit_pred_step — preferred: only B
+    ints cross the host boundary per batch). Batches come from a
+    VideoQADataLoader; padded rows (valid == 0) are excluded from all
     counts. Returns reference-ordered tuples (validate.py:226-235).
     """
-    from dualvgr_tpu.parallel.mesh import shard_batch
-
     name = cfg.dataset.name
     all_agree, all_preds_idx, all_gts_idx = [], [], []
     all_first_tok, all_cats, all_vids, all_qids = [], [], [], []
 
-    for batch in loader:
-        inputs = (
-            batch.appearance_feat,
-            batch.motion_feat,
-            batch.question,
-            batch.question_len,
-        )
-        if mesh is not None:
-            inputs = shard_batch(inputs, mesh)
-        logits = np.asarray(eval_fn(state, inputs))
-        preds = logits.argmax(1)
+    def host_inputs():
+        for b in loader:
+            yield (b.appearance_feat, b.motion_feat, b.question, b.question_len), b
+
+    batches = _prefetch_pairs(host_inputs(), mesh) if mesh is not None else host_inputs()
+
+    for inputs, batch in batches:
+        out = np.asarray(eval_fn(state, inputs))
+        preds = out.argmax(1) if out.ndim == 2 else out
         keep = batch.valid > 0
         all_agree.append((preds == batch.answer)[keep])
         all_preds_idx.append(preds[keep])

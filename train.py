@@ -138,7 +138,7 @@ def train(cfg):
     state = replicate(state, mesh)
 
     step_fn = train_lib.jit_train_step(model, optimizer, cfg.alpha, cfg.beta)
-    eval_fn = train_lib.jit_eval_step(model)
+    eval_fn = train_lib.jit_pred_step(model)
 
     best_val = 0.0
     best_cats = None

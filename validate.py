@@ -91,7 +91,7 @@ def main(argv=None):
 
     mesh = data_mesh(cfg.tpu.mesh_axis)
     state = replicate(state, mesh)
-    eval_fn = train_lib.jit_eval_step(model)
+    eval_fn = train_lib.jit_pred_step(model)
 
     cat_names = validate_lib.category_names(cfg.dataset.name)
     if cfg.test.write_preds:
