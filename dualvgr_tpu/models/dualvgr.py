@@ -251,6 +251,7 @@ class DualVGR(nn.Module):
             self.question_vocab_size,
             self.word_dim,
             self.module_dim,
+            self.use_pallas,
             name="linguistic_input_unit",
         )(question, question_len, train=train)
 

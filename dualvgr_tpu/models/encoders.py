@@ -38,7 +38,9 @@ class BiLSTM(nn.Module):
     hidden: int  # per-direction hidden size
 
     @nn.compact
-    def __call__(self, x, lengths=None, *, fused_final: bool = False):
+    def __call__(self, x, lengths=None, *, fused: str | None = None):
+        """fused: None (XLA scan), 'final' (Pallas kernel, final states only)
+        or 'outputs' (Pallas kernel, per-step outputs + final states)."""
         d = x.shape[-1]
         h = self.hidden
 
@@ -58,14 +60,21 @@ class BiLSTM(nn.Module):
             return LSTMParams(w_ih, w_hh, b_ih, b_hh)
 
         fwd, bwd = make("fwd"), make("bwd")
-        if fused_final and lengths is None and not self.is_initializing():
-            from dualvgr_tpu.ops.lstm_pallas import bilstm_final_pallas
+        if fused is not None and not self.is_initializing():
+            from dualvgr_tpu.ops.lstm_pallas import bilstm_pallas
 
             b_, t, _ = x.shape
             x2 = x.reshape(b_ * t, d)
             xf = (x2 @ fwd.w_ih + fwd.b).reshape(b_, t, 4 * h).transpose(1, 0, 2)
             xb = (x2 @ bwd.w_ih + bwd.b).reshape(b_, t, 4 * h).transpose(1, 0, 2)[::-1]
-            final = bilstm_final_pallas(xf, xb, fwd.w_hh, bwd.w_hh)
+            if fused == "outputs":
+                final, outs = bilstm_pallas(
+                    xf, xb, fwd.w_hh, bwd.w_hh, lengths, with_outputs=True
+                )
+                return outs, final
+            final = bilstm_pallas(
+                xf, xb, fwd.w_hh, bwd.w_hh, lengths, with_outputs=False
+            )
             return None, final
         return bilstm(fwd, bwd, x, lengths)
 
@@ -76,6 +85,7 @@ class QuestionEncoder(nn.Module):
     vocab_size: int
     word_dim: int = 300
     module_dim: int = 768
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, question, question_len, *, train: bool):
@@ -100,10 +110,15 @@ class QuestionEncoder(nn.Module):
         words = jnp.tanh(words)
 
         rnn_dim = self.module_dim // 2
+        fused = self.use_pallas and not train
         # (a) per-token outputs == DynamicRNN(words, len) (Preprocessing.py:117)
-        dynamic, _ = BiLSTM(rnn_dim, name="concat_rnn")(words, question_len)
+        dynamic, _ = BiLSTM(rnn_dim, name="concat_rnn")(
+            words, question_len, fused="outputs" if fused else None
+        )
         # (b) final-state sentence embedding (Preprocessing.py:119-124)
-        _, final = BiLSTM(rnn_dim, name="encoder")(words, question_len)
+        _, final = BiLSTM(rnn_dim, name="encoder")(
+            words, question_len, fused="final" if fused else None
+        )
         question_embedding = nn.Dropout(0.18, deterministic=not train)(final)
         return question_embedding, words, dynamic
 
@@ -123,7 +138,7 @@ class AppearanceEncoder(nn.Module):
         # fold clips into the batch: each clip is one length-F sequence
         x = x.reshape(b * c, f, d)
         _, final = BiLSTM(self.module_dim // 2, name="encoder")(
-            x, fused_final=self.use_pallas and not train
+            x, fused="final" if (self.use_pallas and not train) else None
         )
         final = nn.Dropout(0.18, deterministic=not train)(final)
         return final.reshape(b, c, self.module_dim)

@@ -1,19 +1,24 @@
-"""Fused bidirectional LSTM recurrence as a Pallas TPU kernel (final state).
+"""Fused bidirectional LSTM recurrence as a Pallas TPU kernel.
 
-The appearance encoder runs a BiLSTM over 16 frames of batch*clips clip
-sequences and keeps ONLY the final states (reference model/Preprocessing.py:
-209-234). The input projection (the FLOPs-heavy (B*C*F, 2048) @ (2048, 4H)
-matmul) stays in XLA where it runs at MXU peak; this kernel fuses everything
-XLA schedules poorly — 16 sequential small recurrent matmuls per direction
-plus the gate transcendentals — into one invocation:
+The model's three BiLSTMs (reference model/Preprocessing.py) share one
+recurrence pattern; XLA schedules it poorly — 2*T sequential small matmuls
+plus gate transcendentals per direction. This kernel fuses the whole
+bidirectional recurrence into one invocation:
 
+* the FLOPs-heavy input projection ((rows*T, D) @ (D, 4H)) stays in XLA
+  where it runs at MXU peak; the kernel consumes the projected gates,
 * grid = (row_blocks, T); the T axis iterates fastest, so Pallas
-  double-buffers the per-step xproj blocks from HBM while the VPU/MXU chew
-  on the current step,
+  double-buffers per-step xproj blocks from HBM while compute proceeds,
 * h/c states for both directions live in VMEM scratch across grid steps,
 * both directions advance in the same grid step (the backward direction's
   xproj is passed time-reversed, making both scans forward-in-time),
-* the (rows, 2H) final-state block is written once at t == T-1.
+* variable lengths (packed-sequence semantics): the forward direction
+  carries its state through padded steps (final state == state at len-1);
+  the backward direction stays at the zero init until it enters its valid
+  region (global step t >= T - len), exactly like cuDNN packed sequences,
+* optionally emits zero-masked per-step outputs (the DynamicRNN contract,
+  Preprocessing.py:35-40) — the backward half is written at kernel time t
+  and time-flipped by the caller (one cheap XLA reverse).
 
 Inference-path kernel: training uses the XLA scan (autodiff). Equivalence is
 tested in interpret mode (tests/test_pallas.py) and on hardware.
@@ -36,7 +41,13 @@ def _lstm_step(gates, h, c):
     return h, c
 
 
-def _kernel(xf_ref, xb_ref, whf_ref, whb_ref, out_ref, hf, cf, hb, cb, *, t_total, hidden):
+def _kernel(
+    xf_ref, xb_ref, len_ref,
+    whf_ref, whb_ref,
+    final_ref, outs_ref,
+    hf, cf, hb, cb,
+    *, t_total, hidden, masked, with_outputs,
+):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -46,40 +57,69 @@ def _kernel(xf_ref, xb_ref, whf_ref, whb_ref, out_ref, hf, cf, hb, cb, *, t_tota
         hb[:] = jnp.zeros_like(hb)
         cb[:] = jnp.zeros_like(cb)
 
-    gates_f = xf_ref[0] + jnp.dot(
-        hf[:], whf_ref[:], preferred_element_type=jnp.float32
-    )
+    if masked:
+        lens = len_ref[:]  # (rows, 1) float
+        m_f = (t < lens).astype(jnp.float32)  # forward: valid while t < len
+        m_b = (t >= t_total - lens).astype(jnp.float32)  # backward (reversed)
+    else:
+        m_f = m_b = None
+
+    gates_f = xf_ref[0] + jnp.dot(hf[:], whf_ref[:], preferred_element_type=jnp.float32)
     h_new, c_new = _lstm_step(gates_f, hf[:], cf[:])
+    if masked:
+        h_new = m_f * h_new + (1.0 - m_f) * hf[:]
+        c_new = m_f * c_new + (1.0 - m_f) * cf[:]
     hf[:] = h_new
     cf[:] = c_new
 
-    gates_b = xb_ref[0] + jnp.dot(
-        hb[:], whb_ref[:], preferred_element_type=jnp.float32
-    )
+    gates_b = xb_ref[0] + jnp.dot(hb[:], whb_ref[:], preferred_element_type=jnp.float32)
     h_new, c_new = _lstm_step(gates_b, hb[:], cb[:])
+    if masked:
+        h_new = m_b * h_new + (1.0 - m_b) * hb[:]
+        c_new = m_b * c_new + (1.0 - m_b) * cb[:]
     hb[:] = h_new
     cb[:] = c_new
 
+    if with_outputs:
+        out_f = hf[:] * m_f if masked else hf[:]
+        out_b = hb[:] * m_b if masked else hb[:]
+        outs_ref[0, :, :hidden] = out_f
+        outs_ref[0, :, hidden:] = out_b
+
     @pl.when(t == t_total - 1)
     def _():
-        out_ref[:, :hidden] = hf[:]
-        out_ref[:, hidden:] = hb[:]
+        final_ref[:, :hidden] = hf[:]
+        final_ref[:, hidden:] = hb[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
-def bilstm_final_pallas(
-    xproj_f, xproj_b_rev, w_hh_f, w_hh_b, *, block_r: int = 256, interpret: bool = False
+@functools.partial(
+    jax.jit, static_argnames=("block_r", "interpret", "with_outputs")
+)
+def bilstm_pallas(
+    xproj_f,
+    xproj_b_rev,
+    w_hh_f,
+    w_hh_b,
+    lengths=None,
+    *,
+    with_outputs: bool = False,
+    block_r: int = 256,
+    interpret: bool = False,
 ):
-    """Final BiLSTM states for full-length sequences.
+    """Fused BiLSTM recurrence.
 
     xproj_f:     (T, R, 4H) forward input projections (incl. bias).
-    xproj_b_rev: (T, R, 4H) backward projections, TIME-REVERSED (step 0 is
-                 the last frame), so the kernel scans both directions forward.
+    xproj_b_rev: (T, R, 4H) backward projections, TIME-REVERSED.
     w_hh_*:      (H, 4H) recurrent weights.
-    Returns (R, 2H) = [h_fwd(T-1), h_bwd(0)] like torch's bidirectional cat.
+    lengths:     optional (R,) int/float valid lengths (None = full length).
+
+    Returns final (R, 2H) = [h_fwd_at_len-1, h_bwd_at_0]; with
+    ``with_outputs`` also returns per-step outputs (R, T, 2H), zero-masked
+    at padding, backward half already time-aligned to original order.
     """
     t_total, r, g = xproj_f.shape
     hidden = g // 4
+    masked = lengths is not None
 
     block_r = min(block_r, r)
     pad = (-r) % block_r
@@ -88,18 +128,39 @@ def bilstm_final_pallas(
         xproj_f = jnp.pad(xproj_f, padding)
         xproj_b_rev = jnp.pad(xproj_b_rev, padding)
     rp = xproj_f.shape[1]
+    if masked:
+        lens = jnp.pad(lengths.astype(jnp.float32), (0, pad))[:, None]  # (rp, 1)
+    else:
+        lens = jnp.zeros((rp, 1), jnp.float32)  # unused placeholder
 
-    kernel = functools.partial(_kernel, t_total=t_total, hidden=hidden)
+    kernel = functools.partial(
+        _kernel, t_total=t_total, hidden=hidden, masked=masked, with_outputs=with_outputs
+    )
     x_spec = pl.BlockSpec((1, block_r, g), lambda rb, t: (t, rb, 0), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((block_r, 1), lambda rb, t: (rb, 0), memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((hidden, g), lambda rb, t: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((block_r, 2 * hidden), lambda rb, t: (rb, 0), memory_space=pltpu.VMEM)
+    final_spec = pl.BlockSpec((block_r, 2 * hidden), lambda rb, t: (rb, 0), memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((rp, 2 * hidden), xproj_f.dtype)]
+    out_specs = [final_spec]
+    if with_outputs:
+        out_shapes.append(jax.ShapeDtypeStruct((t_total, rp, 2 * hidden), xproj_f.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, block_r, 2 * hidden), lambda rb, t: (t, rb, 0), memory_space=pltpu.VMEM)
+        )
+    else:
+        # dummy 1-block output so the kernel signature is static
+        out_shapes.append(jax.ShapeDtypeStruct((1, block_r, 2 * hidden), xproj_f.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, block_r, 2 * hidden), lambda rb, t: (0, 0, 0), memory_space=pltpu.VMEM)
+        )
+
+    final, outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((rp, 2 * hidden), xproj_f.dtype),
+        out_shape=out_shapes,
         grid=(rp // block_r, t_total),
-        in_specs=[x_spec, x_spec, w_spec, w_spec],
-        out_specs=out_spec,
+        in_specs=[x_spec, x_spec, len_spec, w_spec, w_spec],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_r, hidden), jnp.float32),  # hf
             pltpu.VMEM((block_r, hidden), jnp.float32),  # cf
@@ -112,5 +173,21 @@ def bilstm_final_pallas(
             transcendentals=rp * t_total * g * 2,
         ),
         interpret=interpret,
-    )(xproj_f, xproj_b_rev, w_hh_f, w_hh_b)
-    return out[:r]
+    )(xproj_f, xproj_b_rev, lens, w_hh_f, w_hh_b)
+
+    final = final[:r]
+    if not with_outputs:
+        return final
+    # (T, R, 2H) -> (R, T, 2H); backward half written in reversed kernel time
+    outs = outs[:, :r].transpose(1, 0, 2)
+    out_f, out_b = outs[..., :hidden], outs[..., hidden:]
+    out_b = out_b[:, ::-1]
+    return final, jnp.concatenate([out_f, out_b], axis=-1)
+
+
+def bilstm_final_pallas(xproj_f, xproj_b_rev, w_hh_f, w_hh_b, *, block_r: int = 256, interpret: bool = False):
+    """Back-compat wrapper: full-length final states only."""
+    return bilstm_pallas(
+        xproj_f, xproj_b_rev, w_hh_f, w_hh_b, None,
+        with_outputs=False, block_r=block_r, interpret=interpret,
+    )

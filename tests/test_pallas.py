@@ -96,6 +96,28 @@ def test_fused_bilstm_final_matches_scan(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_fused_bilstm_masked_outputs_match_scan(rng):
+    """Masked variable-length kernel with per-step outputs == masked scan."""
+    from dualvgr_tpu.ops.lstm import init_lstm_params, bilstm
+    from dualvgr_tpu.ops.lstm_pallas import bilstm_pallas
+
+    R, T, D, H = 11, 6, 9, 8
+    x = jnp.asarray(rng.randn(R, T, D).astype(np.float32))
+    lens = jnp.asarray(rng.randint(1, T + 1, (R,)).astype(np.int32))
+    fwd = init_lstm_params(jax.random.PRNGKey(2), D, H)
+    bwd = init_lstm_params(jax.random.PRNGKey(3), D, H)
+    outs_want, final_want = bilstm(fwd, bwd, x, lens)
+
+    x2 = x.reshape(R * T, D)
+    xf = (x2 @ fwd.w_ih + fwd.b).reshape(R, T, 4 * H).transpose(1, 0, 2)
+    xb = (x2 @ bwd.w_ih + bwd.b).reshape(R, T, 4 * H).transpose(1, 0, 2)[::-1]
+    final, outs = bilstm_pallas(
+        xf, xb, fwd.w_hh, bwd.w_hh, lens, with_outputs=True, block_r=4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(final), np.asarray(final_want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(outs_want), atol=1e-5)
+
+
 def test_model_fused_flag_matches_xla(rng):
     """DualVGR(use_pallas=True) eval logits == DualVGR(use_pallas=False)."""
     from dualvgr_tpu.models import DualVGR
@@ -122,14 +144,14 @@ def test_model_fused_flag_matches_xla(rng):
     import functools
 
     orig_gat = gp.fused_gat_cycle
-    orig_lstm = lp.bilstm_final_pallas
+    orig_lstm = lp.bilstm_pallas
     # run both fused paths through the interpreter on CPU
     gp.fused_gat_cycle = functools.partial(orig_gat, interpret=True)
-    lp.bilstm_final_pallas = functools.partial(orig_lstm, interpret=True)
+    lp.bilstm_pallas = functools.partial(orig_lstm, interpret=True)
     try:
         fused_model = DualVGR(use_pallas=True, **dims)
         got = fused_model.apply(variables, app, mot, q, qlen, train=False).logits
     finally:
         gp.fused_gat_cycle = orig_gat
-        lp.bilstm_final_pallas = orig_lstm
+        lp.bilstm_pallas = orig_lstm
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
