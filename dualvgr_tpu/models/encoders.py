@@ -61,21 +61,32 @@ class BiLSTM(nn.Module):
 
         fwd, bwd = make("fwd"), make("bwd")
         if fused is not None and not self.is_initializing():
-            from dualvgr_tpu.ops.lstm_pallas import bilstm_pallas
+            from dualvgr_tpu.ops import lstm_pallas
 
             b_, t, _ = x.shape
             x2 = x.reshape(b_ * t, d)
             xf = (x2 @ fwd.w_ih + fwd.b).reshape(b_, t, 4 * h).transpose(1, 0, 2)
             xb = (x2 @ bwd.w_ih + bwd.b).reshape(b_, t, 4 * h).transpose(1, 0, 2)[::-1]
+            if fused == "final_trainable":
+                # custom-VJP kernel pair: fused forward AND backward recurrence
+                from dualvgr_tpu.ops.lstm_pallas_train import (
+                    bilstm_final_trainable_padded,
+                )
+
+                final = bilstm_final_trainable_padded(xf, xb, fwd.w_hh, bwd.w_hh)
+                return None, final
+            if lstm_pallas.STREAM_DTYPE is not None:
+                xf = xf.astype(lstm_pallas.STREAM_DTYPE)
+                xb = xb.astype(lstm_pallas.STREAM_DTYPE)
             if fused == "outputs":
-                final, outs = bilstm_pallas(
+                final, outs = lstm_pallas.bilstm_pallas(
                     xf, xb, fwd.w_hh, bwd.w_hh, lengths, with_outputs=True
                 )
-                return outs, final
-            final = bilstm_pallas(
+                return outs.astype(x.dtype), final.astype(x.dtype)
+            final = lstm_pallas.bilstm_pallas(
                 xf, xb, fwd.w_hh, bwd.w_hh, lengths, with_outputs=False
             )
-            return None, final
+            return None, final.astype(x.dtype)
         return bilstm(fwd, bwd, x, lengths)
 
 
@@ -137,9 +148,13 @@ class AppearanceEncoder(nn.Module):
         x = jnp.tanh(x)
         # fold clips into the batch: each clip is one length-F sequence
         x = x.reshape(b * c, f, d)
-        _, final = BiLSTM(self.module_dim // 2, name="encoder")(
-            x, fused="final" if (self.use_pallas and not train) else None
-        )
+        if self.use_pallas:
+            # eval: inference kernel (optionally bf16-streamed);
+            # train: custom-VJP kernel pair (fused fwd + bwd recurrence)
+            mode = "final" if not train else "final_trainable"
+        else:
+            mode = None
+        _, final = BiLSTM(self.module_dim // 2, name="encoder")(x, fused=mode)
         final = nn.Dropout(0.18, deterministic=not train)(final)
         return final.reshape(b, c, self.module_dim)
 

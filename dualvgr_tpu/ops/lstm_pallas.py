@@ -64,7 +64,10 @@ def _kernel(
     else:
         m_f = m_b = None
 
-    gates_f = xf_ref[0] + jnp.dot(hf[:], whf_ref[:], preferred_element_type=jnp.float32)
+    # xproj may stream in bf16 (halves the dominant HBM traffic); compute fp32
+    gates_f = xf_ref[0].astype(jnp.float32) + jnp.dot(
+        hf[:], whf_ref[:], preferred_element_type=jnp.float32
+    )
     h_new, c_new = _lstm_step(gates_f, hf[:], cf[:])
     if masked:
         h_new = m_f * h_new + (1.0 - m_f) * hf[:]
@@ -72,7 +75,9 @@ def _kernel(
     hf[:] = h_new
     cf[:] = c_new
 
-    gates_b = xb_ref[0] + jnp.dot(hb[:], whb_ref[:], preferred_element_type=jnp.float32)
+    gates_b = xb_ref[0].astype(jnp.float32) + jnp.dot(
+        hb[:], whb_ref[:], preferred_element_type=jnp.float32
+    )
     h_new, c_new = _lstm_step(gates_b, hb[:], cb[:])
     if masked:
         h_new = m_b * h_new + (1.0 - m_b) * hb[:]
@@ -83,13 +88,19 @@ def _kernel(
     if with_outputs:
         out_f = hf[:] * m_f if masked else hf[:]
         out_b = hb[:] * m_b if masked else hb[:]
-        outs_ref[0, :, :hidden] = out_f
-        outs_ref[0, :, hidden:] = out_b
+        outs_ref[0, :, :hidden] = out_f.astype(outs_ref.dtype)
+        outs_ref[0, :, hidden:] = out_b.astype(outs_ref.dtype)
 
     @pl.when(t == t_total - 1)
     def _():
-        final_ref[:, :hidden] = hf[:]
-        final_ref[:, hidden:] = hb[:]
+        final_ref[:, :hidden] = hf[:].astype(final_ref.dtype)
+        final_ref[:, hidden:] = hb[:].astype(final_ref.dtype)
+
+
+# when set (e.g. "bfloat16"), the fused path streams the projected gates in
+# this dtype — halving the kernel's dominant HBM traffic; compute stays fp32.
+# Drivers set it from cfg.tpu.compute_dtype; None = keep input dtype.
+STREAM_DTYPE: str | None = None
 
 
 @functools.partial(

@@ -24,17 +24,28 @@ _STATE_DIR = "state"
 _KWARGS_FILE = "model_kwargs.json"
 
 
+def jnp_is_typed_key(x) -> bool:
+    import jax.numpy as jnp
+
+    return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key)
+
+
 def save_checkpoint(ckpt_dir: str, epoch: int, state: TrainState, model_kwargs: dict):
     """Write the train state + model_kwargs under {ckpt_dir}/model."""
     path = os.path.abspath(os.path.join(ckpt_dir, "model"))
     os.makedirs(ckpt_dir, exist_ok=True)
+    rng = state.rng
+    # typed PRNG keys aren't serializable; store the raw key data (the impl
+    # is re-derived from the live state's key on restore)
+    if jnp_is_typed_key(rng):
+        rng = jax.random.key_data(rng)
     tree = {
         "epoch": epoch,
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
-        "rng": state.rng,
+        "rng": rng,
     }
     with ocp.StandardCheckpointer() as ck:
         ck.save(os.path.join(path, _STATE_DIR), jax.device_get(tree), force=True)
@@ -51,21 +62,27 @@ def load_model_kwargs(ckpt_dir: str) -> dict:
 def restore_checkpoint(ckpt_dir: str, state: TrainState) -> tuple[int, TrainState]:
     """Restore into the structure of ``state``; returns (epoch, new_state)."""
     path = os.path.abspath(os.path.join(ckpt_dir, "model", _STATE_DIR))
+    live_rng = state.rng
+    typed = jnp_is_typed_key(live_rng)
+    rng_target = jax.random.key_data(live_rng) if typed else live_rng
     target = {
         "epoch": 0,
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
-        "rng": state.rng,
+        "rng": rng_target,
     }
     with ocp.StandardCheckpointer() as ck:
         tree: Any = ck.restore(path, target)
+    rng = tree["rng"]
+    if typed:
+        rng = jax.random.wrap_key_data(rng, impl=jax.random.key_impl(live_rng))
     new_state = state.replace(
         step=tree["step"],
         params=tree["params"],
         batch_stats=tree["batch_stats"],
         opt_state=tree["opt_state"],
-        rng=tree["rng"],
+        rng=rng,
     )
     return int(tree["epoch"]), new_state

@@ -63,6 +63,7 @@ def main(argv=None):
     ckpt_dir = os.path.join(cfg.dataset.save_dir, "ckpt")
     cfg = resolve_dataset_paths(cfg)
     vocab = load_vocab(cfg.dataset.vocab_json)
+    train_lib.apply_tpu_config(cfg)
 
     mesh = data_mesh(cfg.tpu.mesh_axis)
     num_clips = cfg.train.num_of_nodes  # clips == graph nodes (SURVEY section 2.1)
@@ -123,7 +124,7 @@ def main(argv=None):
 
     optimizer = train_lib.make_optimizer(cfg.train.lr, 1)
     state = train_lib.create_train_state(
-        model, jax.random.PRNGKey(cfg.seed),
+        model, jax.random.key(cfg.seed, impl=cfg.tpu.get("prng_impl", "threefry2x32")),
         (app_feats[:1], mot_feats[:1], questions[:1], qlen[:1]), optimizer,
     )
     _, state = restore_checkpoint(ckpt_dir, state)

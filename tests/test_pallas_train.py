@@ -1,0 +1,118 @@
+"""Trainable fused BiLSTM kernel: forward + gradient parity vs the XLA scan
+(interpret mode), standalone and through the full model's train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import dualvgr_tpu.ops.lstm_pallas_train as lpt
+from dualvgr_tpu.ops.lstm import LSTMParams, bilstm, init_lstm_params
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    lpt.INTERPRET = True
+    yield
+    lpt.INTERPRET = False
+
+
+def _proj(x, p, reverse=False):
+    r, t, d = x.shape
+    h4 = p.w_hh.shape[1]
+    xp = (x.reshape(r * t, d) @ p.w_ih + p.b).reshape(r, t, h4).transpose(1, 0, 2)
+    return xp[::-1] if reverse else xp
+
+
+def test_forward_matches_scan(rng):
+    R, T, D, H = 8, 5, 6, 4
+    x = jnp.asarray(rng.randn(R, T, D).astype(np.float32))
+    fwd = init_lstm_params(jax.random.PRNGKey(0), D, H)
+    bwd = init_lstm_params(jax.random.PRNGKey(1), D, H)
+    got = lpt.bilstm_final_trainable_padded(
+        _proj(x, fwd), _proj(x, bwd, reverse=True), fwd.w_hh, bwd.w_hh, block_r=4
+    )
+    _, want = bilstm(fwd, bwd, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_gradients_match_scan(rng):
+    """d(loss)/d(xproj, w_hh) from the kernel VJP == jax.grad of the scan,
+    including a ragged row count exercising the pad/slice wrapper."""
+    R, T, D, H = 10, 5, 6, 4  # R=10 with block 4 -> padded to 12
+    x = jnp.asarray(rng.randn(R, T, D).astype(np.float32))
+    fwd = init_lstm_params(jax.random.PRNGKey(2), D, H)
+    bwd = init_lstm_params(jax.random.PRNGKey(3), D, H)
+    xf = _proj(x, fwd)
+    xb = _proj(x, bwd, reverse=True)
+    tgt = jnp.asarray(rng.randn(R, 2 * H).astype(np.float32))
+
+    def loss_kernel(xf, xb, wf, wb):
+        f = lpt.bilstm_final_trainable_padded(xf, xb, wf, wb, block_r=4)
+        return ((f - tgt) ** 2).sum()
+
+    def loss_scan(xf, xb, wf, wb):
+        from dualvgr_tpu.ops.lstm import _scan_direction
+
+        mask = jnp.ones((T, R, 1), jnp.float32)
+        pf = LSTMParams(fwd.w_ih, wf, fwd.b_ih, fwd.b_hh)
+        pb = LSTMParams(bwd.w_ih, wb, bwd.b_ih, bwd.b_hh)
+        _, hf = _scan_direction(pf, xf, mask, False)
+        _, hb = _scan_direction(pb, xb, mask, False)
+        return ((jnp.concatenate([hf, hb], -1) - tgt) ** 2).sum()
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(xf, xb, fwd.w_hh, bwd.w_hh)
+    gs = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(xf, xb, fwd.w_hh, bwd.w_hh)
+    for a, b in zip(gk, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_train_step_grads_match_xla_path(rng):
+    """Full-model train step: the use_pallas training path (kernel-VJP
+    appearance LSTM) produces the same loss and parameter update as XLA."""
+    from dualvgr_tpu.models import DualVGR
+    from dualvgr_tpu import train_lib
+
+    dims = dict(
+        vision_dim=12, module_dim=16, word_dim=8, question_vocab_size=20,
+        num_answers=7, num_of_nodes=3, graph_layers=1, unit_layers=1,
+    )
+    b, c, f, t = 4, 3, 4, 5
+    app = rng.randn(b, c, f, 12).astype(np.float32)
+    mot = rng.randn(b, c, 12).astype(np.float32)
+    q = rng.randint(1, 20, (b, t)).astype(np.int32)
+    qlen = np.full((b,), t, np.int32)
+    ans = rng.randint(0, 7, (b,)).astype(np.int32)
+
+    from dualvgr_tpu.ops.losses import dualvgr_total_loss
+
+    opt = train_lib.make_optimizer(1e-3, 10)
+    model_x = DualVGR(use_pallas=False, **dims)
+    model_p = DualVGR(use_pallas=True, **dims)
+    state = train_lib.create_train_state(
+        model_x, jax.random.PRNGKey(5), (app, mot, q, qlen), opt
+    )
+
+    def loss_fn(params, model):
+        out = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            app, mot, q, qlen, train=True,
+            rngs={"dropout": jax.random.PRNGKey(9)},
+            mutable=["batch_stats"],
+        )[0]
+        total, _ = dualvgr_total_loss(
+            out.logits, ans, out.aq_fusion, out.com_app, out.mq_fusion,
+            out.com_motion, alpha=1.0, beta=1e-8, num_of_nodes=3,
+        )
+        return total
+
+    lx, gx = jax.value_and_grad(lambda p: loss_fn(p, model_x))(state.params)
+    lp, gp = jax.value_and_grad(lambda p: loss_fn(p, model_p))(state.params)
+    np.testing.assert_allclose(float(lx), float(lp), rtol=1e-5)
+    # gradients agree directly (comparing post-Adam params is ill-conditioned:
+    # Adam amplifies fp32 noise in near-zero gradients to O(lr))
+    for a, b_ in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b_ / scale, atol=2e-5)

@@ -115,7 +115,9 @@ def train(cfg):
         first.question[:1],
         first.question_len[:1],
     )
-    rng = jax.random.PRNGKey(cfg.seed)
+    # typed key carries the impl through splits; the checkpointer stores its
+    # raw key_data (utils/checkpoint.py)
+    rng = jax.random.key(cfg.seed, impl=cfg.tpu.get("prng_impl", "threefry2x32"))
     state = train_lib.create_train_state(model, rng, example, optimizer)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logging.info("num of params: %d", n_params)
@@ -248,6 +250,7 @@ def main(argv=None):
     for k, v in cfg.items():
         logging.info("%s:%s", k, v)
     cfg = resolve_dataset_paths(cfg)
+    train_lib.apply_tpu_config(cfg)
 
     np.random.seed(cfg.seed)
     return train(cfg)

@@ -46,6 +46,7 @@ def main(argv=None):
     ckpt_dir = os.path.join(cfg.dataset.save_dir, "ckpt")
     assert os.path.exists(os.path.join(ckpt_dir, "model")), f"no checkpoint in {ckpt_dir}"
     cfg = resolve_dataset_paths(cfg)
+    train_lib.apply_tpu_config(cfg)
 
     test_loader = VideoQADataLoader(
         question_pt=cfg.dataset.test_question_pt,
@@ -86,7 +87,7 @@ def main(argv=None):
         first.question_len[:1],
     )
     optimizer = train_lib.make_optimizer(cfg.train.lr, len(test_loader))
-    state = train_lib.create_train_state(model, jax.random.PRNGKey(cfg.seed), example, optimizer)
+    state = train_lib.create_train_state(model, jax.random.key(cfg.seed, impl=cfg.tpu.get("prng_impl", "threefry2x32")), example, optimizer)
     _, state = restore_checkpoint(ckpt_dir, state)
 
     mesh = data_mesh(cfg.tpu.mesh_axis)
