@@ -39,6 +39,11 @@ def main():
     from dualvgr_tpu import train_lib
     from dualvgr_tpu.parallel import data_mesh, replicate, shard_batch
 
+    if os.environ.get("BENCH_STREAM"):  # e.g. BENCH_STREAM=bfloat16
+        from dualvgr_tpu.ops import lstm_pallas
+
+        lstm_pallas.STREAM_DTYPE = os.environ["BENCH_STREAM"]
+
     baseline_path = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.json")
     baseline = REFERENCE_QA_PER_SEC
     if os.path.exists(baseline_path):
