@@ -112,14 +112,29 @@ def main(argv=None):
     sys.stdout.flush()
 
     if cfg.test.write_preds:
-        # dump preds JSON + 10 qualitative samples (reference validate.py:328-363)
+        # dump preds JSON + 10 qualitative samples, same fields as the
+        # reference (validate.py:328-363): video_id, question_id, video_name,
+        # decoded question tokens, answer, prediction
+        import pickle
+
         out_dir = os.path.join(cfg.dataset.save_dir, "preds")
         os.makedirs(out_dir, exist_ok=True)
         out_path = os.path.join(out_dir, "test_preds.json")
+        qvocab = test_loader.vocab["question_idx_to_token"]
+        with open(cfg.dataset.test_question_pt, "rb") as f:
+            obj = pickle.load(f)
+        by_qid = {
+            str(qid): (name, q_row)
+            for qid, name, q_row in zip(
+                obj["question_id"], obj["video_names"], obj["questions"]
+            )
+        }
         instances = [
             {
                 "video_id": v,
                 "question_id": q,
+                "video_name": str(by_qid[str(q)][0]),
+                "question": [qvocab[int(w)] for w in by_qid[str(q)][1] if w != 0],
                 "answer": gt,
                 "prediction": p,
             }
@@ -128,10 +143,13 @@ def main(argv=None):
         with open(out_path, "w") as f:
             json.dump(instances, f)
         logging.info("wrote %d predictions to %s", len(instances), out_path)
+        sys.stdout.write("Display 10 samples...\n")
         for inst in instances[:10]:
             sys.stdout.write(
-                f"video {inst['video_id']} q{inst['question_id']}: "
-                f"gt={inst['answer']} pred={inst['prediction']}\n"
+                "Video name: {}\nQuestion: {}?\nPrediction: {}\nGroundtruth: {}\n".format(
+                    inst["video_name"], " ".join(inst["question"]),
+                    inst["prediction"], inst["answer"],
+                )
             )
     return acc
 
