@@ -71,9 +71,10 @@ class DualVGRUnitStack(nn.Module):
     With ``use_pallas`` (inference path only) the per-cycle graph reasoning
     — common GAT + specific GAT + 2-way fusion + residual — runs as ONE
     fused Pallas kernel per stream (dualvgr_tpu/ops/gat_pallas.py), sharing
-    the exact same parameters as the XLA composition. Training and the
-    auxiliary-loss outputs always use the XLA path (grads via autodiff, and
-    the fused path doesn't materialize per-layer intermediates).
+    the exact same parameters as the XLA composition. The kernel also emits
+    the true common/specific embeddings, so the auxiliary outputs are
+    identical to the XLA path's (tests/test_pallas.py). Training always
+    uses the XLA path (grads via autodiff).
     """
 
     word_dim: int = 300
@@ -162,21 +163,23 @@ class DualVGRUnitStack(nn.Module):
             mot_scores = self.punish_motion[i](guided, mq)
 
             if fused:
-                appearance_feat = self._fused_cycle(
+                appearance_feat, com_a, spec_a = self._fused_cycle(
                     aq, app_scores, self.ac_gats[i], self.appearance_gats[i],
                     self.attention_appearance[i],
                 )
-                motion_feat = self._fused_cycle(
+                motion_feat, com_m, spec_m = self._fused_cycle(
                     mq, mot_scores, self.mc_gats[i], self.motion_gats[i],
                     self.attention_motion[i],
                 )
-                # aux outputs (training-only consumers) reuse the stream
+                # aux outputs: identical values to the XLA composition —
+                # the kernel writes the true common/specific embeddings,
+                # and the SFGCN fusion is exactly the residual delta
                 aq_embed = appearance_feat - aq
                 mq_embed = motion_feat - mq
-                aq_fusion_list.append(aq_embed)
-                com_app_list.append(aq_embed)
-                mq_fusion_list.append(mq_embed)
-                com_motion_list.append(mq_embed)
+                aq_fusion_list.append(spec_a)
+                com_app_list.append(com_a)
+                mq_fusion_list.append(spec_m)
+                com_motion_list.append(com_m)
                 continue
 
             com_app = com_motion = None

@@ -68,7 +68,7 @@ def _cycle_kernel(
     wc_ref, bc_ref, ac_src_ref, ac_dst_ref, ac_b_ref,
     ws_ref, bs_ref, as_src_ref, as_dst_ref, as_b_ref,
     proj_w_ref, proj_b_ref, score_w_ref,
-    out_ref,
+    out_ref, common_ref, spec_ref,
     *, n, heads, hd, alpha,
 ):
     tb = h_ref.shape[0]
@@ -96,6 +96,9 @@ def _cycle_kernel(
     beta_c = jax.nn.sigmoid(s_c - s_s)
     fused = beta_c * common + (1.0 - beta_c) * spec
     out_ref[:] = h_ref[:] + fused.reshape(tb, n, d)
+    # the true per-cycle GAT embeddings, consumed by the auxiliary losses
+    common_ref[:] = common.reshape(tb, n, d)
+    spec_ref[:] = spec.reshape(tb, n, d)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
@@ -108,7 +111,12 @@ def fused_gat_cycle(
 ):
     """h: (B, N, D); scores: (B, N, hd). GAT params: w (D, H*hd) merged-head
     kernel, b (H*hd,), a (H, 2*hd), a_bias (H,). SFGCN params: proj_w (D, D),
-    proj_b (D,), score_w (D, 1). Returns h + SFGCN([GATc(h), GATs(h)]).
+    proj_b (D,), score_w (D, 1).
+
+    Returns (out, common, spec): out = h + SFGCN([GATc(h), GATs(h)]) plus the
+    true common/specific GAT embeddings (each (B, N, D)) — the same values
+    the XLA composition feeds the auxiliary losses, written straight from
+    VMEM so the fused path's aux outputs are exact, not reconstructed.
     """
     b, n, d = h.shape
     heads = ac.shape[0]
@@ -141,9 +149,10 @@ def fused_gat_cycle(
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
     flops_per_block = 2 * (block_b * n) * d * (heads * hd) * 2 + 2 * (block_b * n) * d * d
-    out = pl.pallas_call(
+    shape = jax.ShapeDtypeStruct((bp, n, d), h.dtype)
+    out, common, spec = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bp, n, d), h.dtype),
+        out_shape=(shape, shape, shape),
         grid=grid,
         in_specs=[
             h_spec, s_spec,
@@ -151,9 +160,9 @@ def fused_gat_cycle(
             wspec(ws.shape), wspec(bs.shape), wspec(as_src.shape), wspec(as_dst.shape), wspec(as_bias.shape),
             wspec(proj_w.shape), wspec(proj_b.shape), wspec(score_w.shape),
         ],
-        out_specs=h_spec,
+        out_specs=(h_spec, h_spec, h_spec),
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_block * grid[0], bytes_accessed=h.size * 4 * 2, transcendentals=bp * n * n * heads
+            flops=flops_per_block * grid[0], bytes_accessed=h.size * 4 * 4, transcendentals=bp * n * n * heads
         ),
         interpret=interpret,
     )(
@@ -162,4 +171,4 @@ def fused_gat_cycle(
         ws, bs, as_src, as_dst, as_bias,
         proj_w, proj_b, score_w,
     )
-    return out[:b]
+    return out[:b], common[:b], spec[:b]

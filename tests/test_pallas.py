@@ -56,10 +56,12 @@ def test_fused_cycle_matches_xla_composition(rng):
     fused, _ = sf.apply(vf, jnp.stack([common, spec], 1))
     want = h + fused
 
-    got = fused_gat_cycle(
+    got, got_common, got_spec = fused_gat_cycle(
         h, scores, *_kernel_args(D, H, hd, vc, vs, vf), block_b=4, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_common), np.asarray(common), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_spec), np.asarray(spec), atol=1e-5)
 
 
 def test_fused_cycle_pads_ragged_batch(rng):
@@ -67,14 +69,16 @@ def test_fused_cycle_pads_ragged_batch(rng):
     B, N, D, H = 10, 4, 16, 4
     hd = D // H
     h, scores, adj, (gat_c, vc), (gat_s, vs), (sf, vf) = _setup(rng, B, N, D, H)
-    got = fused_gat_cycle(
+    got, got_common, got_spec = fused_gat_cycle(
         h, scores, *_kernel_args(D, H, hd, vc, vs, vf), block_b=4, interpret=True
     )
-    assert got.shape == (B, N, D)
+    assert got.shape == got_common.shape == got_spec.shape == (B, N, D)
     common = gat_c.apply(vc, h, adj, scores, train=False)
     spec = gat_s.apply(vs, h, adj, scores, train=False)
     fused, _ = sf.apply(vf, jnp.stack([common, spec], 1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(h + fused), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_common), np.asarray(common), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_spec), np.asarray(spec), atol=1e-5)
 
 
 def test_fused_bilstm_final_matches_scan(rng):
@@ -119,7 +123,8 @@ def test_fused_bilstm_masked_outputs_match_scan(rng):
 
 
 def test_model_fused_flag_matches_xla(rng):
-    """DualVGR(use_pallas=True) eval logits == DualVGR(use_pallas=False)."""
+    """DualVGR(use_pallas=True) eval outputs — logits AND every auxiliary
+    embedding the losses consume — match DualVGR(use_pallas=False)."""
     from dualvgr_tpu.models import DualVGR
 
     dims = dict(
@@ -137,7 +142,7 @@ def test_model_fused_flag_matches_xla(rng):
         {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(0)},
         app, mot, q, qlen, train=False,
     )
-    want = model.apply(variables, app, mot, q, qlen, train=False).logits
+    want = model.apply(variables, app, mot, q, qlen, train=False)
 
     import dualvgr_tpu.ops.gat_pallas as gp
     import dualvgr_tpu.ops.lstm_pallas as lp
@@ -150,8 +155,14 @@ def test_model_fused_flag_matches_xla(rng):
     lp.bilstm_pallas = functools.partial(orig_lstm, interpret=True)
     try:
         fused_model = DualVGR(use_pallas=True, **dims)
-        got = fused_model.apply(variables, app, mot, q, qlen, train=False).logits
+        got = fused_model.apply(variables, app, mot, q, qlen, train=False)
     finally:
         gp.fused_gat_cycle = orig_gat
         lp.bilstm_pallas = orig_lstm
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    for field in want._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, field)),
+            np.asarray(getattr(want, field)),
+            atol=1e-4,
+            err_msg=field,
+        )
