@@ -138,6 +138,24 @@ class VideoQADataLoader:
     def num_samples(self) -> int:
         return len(self.questions)
 
+    def example_batch(self, batch_size: int = 1):
+        """Zero-filled (app, motion, question, qlen) at the loader's shapes.
+
+        For shape-driven model init: built purely from metadata (HDF5 dataset
+        shapes + the question array), so it consumes no RNG shuffle and
+        spawns no producer thread — two `train()` calls with the same seed
+        see identical epoch-0 batch order (reference consumes a real batch,
+        train.py:96-101; we deliberately do not).
+        """
+        c, f, d = self.app_store.shape[1:]
+        t = self.questions.shape[1]
+        return (
+            np.zeros((batch_size, c, f, d), np.float32),
+            np.zeros((batch_size, c, self.motion_store.shape[-1]), np.float32),
+            np.zeros((batch_size, t), np.int32),
+            np.ones((batch_size,), np.int32),
+        )
+
     def __len__(self) -> int:
         # reference overrides DataLoader.__len__ the same way (DataLoader.py:167-168)
         return math.ceil(self.num_samples / self.batch_size)

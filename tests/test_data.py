@@ -66,6 +66,22 @@ def test_shuffle_is_seeded_and_reshuffles(synth_dir):
     assert not np.array_equal(b1.question_idx, b1b.question_idx)
 
 
+def test_example_batch_is_side_effect_free(synth_dir):
+    """example_batch (shape-driven init) must not consume the shuffle RNG:
+    two drivers with the same seed see identical epoch-0 batch order whether
+    or not they asked for example shapes first (VERDICT round-1 weak #7)."""
+    l1 = _loader(synth_dir, shuffle=True, seed=7)
+    l2 = _loader(synth_dir, shuffle=True, seed=7)
+    app, mot, q, qlen = l1.example_batch(2)
+    assert app.shape == (2, 4, 3, 32)
+    assert mot.shape == (2, 4, 32)
+    assert q.shape == (2, l1.questions.shape[1]) and q.dtype == np.int32
+    assert qlen.shape == (2,)
+    b1 = next(iter(l1))
+    b2 = next(iter(l2))
+    np.testing.assert_array_equal(b1.question_idx, b2.question_idx)
+
+
 def test_features_align_with_video_ids(synth_dir):
     """Each batch row's features must be the h5 row for that video id."""
     import h5py

@@ -107,14 +107,10 @@ def train(cfg):
     steps_per_epoch = len(train_loader)
     optimizer = train_lib.make_optimizer(cfg.train.lr, steps_per_epoch)
 
-    # example batch for shape-driven init
-    first = next(iter(train_loader))
-    example = (
-        first.appearance_feat[:1],
-        first.motion_feat[:1],
-        first.question[:1],
-        first.question_len[:1],
-    )
+    # example batch for shape-driven init: metadata-only (no RNG shuffle
+    # consumed, no producer thread started — epoch-0 order stays identical
+    # across train() calls with the same seed)
+    example = train_loader.example_batch(1)
     # typed key carries the impl through splits; the checkpointer stores its
     # raw key_data (utils/checkpoint.py)
     rng = jax.random.key(cfg.seed, impl=cfg.tpu.get("prng_impl", "threefry2x32"))

@@ -79,13 +79,8 @@ def main(argv=None):
         use_pallas=cfg.tpu.use_pallas,
     )
 
-    first = next(iter(test_loader))
-    example = (
-        first.appearance_feat[:1],
-        first.motion_feat[:1],
-        first.question[:1],
-        first.question_len[:1],
-    )
+    # metadata-only example shapes (no batch pull, no producer thread)
+    example = test_loader.example_batch(1)
     optimizer = train_lib.make_optimizer(cfg.train.lr, len(test_loader))
     state = train_lib.create_train_state(model, jax.random.key(cfg.seed, impl=cfg.tpu.get("prng_impl", "threefry2x32")), example, optimizer)
     _, state = restore_checkpoint(ckpt_dir, state)
