@@ -24,7 +24,16 @@ from collections import Counter
 import nltk
 import numpy as np
 
-from preprocess.datautils import utils
+
+def encode_tokens(tokens, token_to_idx) -> list:
+    """Token strings -> vocab ids, unknown words to <UNK>.
+
+    Same data contract as the reference codec (reference
+    preprocess/datautils/utils.py:3-20, always called with allow_unk): one
+    dict lookup per token with the <UNK> id as the default.
+    """
+    unk = token_to_idx["<UNK>"]
+    return [token_to_idx.get(tok, unk) for tok in tokens]
 
 
 def tokenize_question(question: str):
@@ -111,7 +120,7 @@ def process_questions(
     all_answers, categories = [], []
     for idx, inst in enumerate(instances):
         tokens = tokenize_question(get_question(inst))
-        encoded = utils.encode(tokens, vocab["question_token_to_idx"], allow_unk=True)
+        encoded = encode_tokens(tokens, vocab["question_token_to_idx"])
         questions_encoded.append(encoded)
         questions_len.append(len(encoded))
         question_ids.append(idx)

@@ -37,13 +37,14 @@ import queue
 import random
 import sys
 import threading
+import time
 
 import h5py
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from preprocess.datautils import msrvtt_qa, msvd_qa, svqa, utils as datautils  # noqa: E402
+from preprocess.datautils import msrvtt_qa, msvd_qa, svqa  # noqa: E402
 
 
 def decode_video_rgb(path: str):
@@ -223,7 +224,7 @@ def generate_h5(args, video_paths):
     threading.Thread(target=producer, daemon=True).start()
 
     n = len(video_paths)
-    timer = datautils.Timer()
+    t_start = time.monotonic()
     os.makedirs(os.path.dirname(os.path.abspath(args.outfile)), exist_ok=True)
     with h5py.File(args.outfile, "w") as fd:
         if appearance:
@@ -236,7 +237,7 @@ def generate_h5(args, video_paths):
             )
         ids_ds = fd.create_dataset("ids", (n,), dtype=np.int64)
 
-        buf_vids, buf_clips = [], []
+        buf_vids, buf_clips, buf_valid = [], [], []
         written = 0
 
         def flush():
@@ -263,31 +264,33 @@ def generate_h5(args, video_paths):
                     batch2 = batch
                 feats = extractor(batch2)[:vc]
                 feats = feats.reshape(len(buf_vids), args.num_clips, 2048)
-            for k, vid in enumerate(buf_vids):
-                feat_ds[written] = feats[k]
+            for k, (vid, ok) in enumerate(zip(buf_vids, buf_valid)):
+                # broken videos get zero FEATURES (reference :174,:188 writes
+                # np.zeros rows), not features-of-zero-frames
+                feat_ds[written] = feats[k] if ok else 0.0
                 ids_ds[written] = int(vid) if str(vid).isdigit() else hash(vid) % (2**62)
                 written += 1
             buf_vids.clear()
             buf_clips.clear()
+            buf_valid.clear()
 
-        timer.tic()
         while True:
             item = q.get()
             if item is sentinel:
                 break
             vid, clips, valid = item
-            if not valid:
-                clips = np.zeros_like(clips)
             buf_vids.append(vid)
             buf_clips.append(clips)
+            buf_valid.append(valid)
             if len(buf_vids) >= args.videos_per_batch:
                 flush()
-                avg = timer.toc()
                 done = written
+                per_video = (time.monotonic() - t_start) / max(done, 1)
+                eta = per_video * (n - done)
                 print(
-                    f"{done}/{n} videos, {avg / max(done, 1):.3f}s/video avg", flush=True
+                    f"{done}/{n} videos, {per_video:.3f}s/video, ETA {eta:.0f}s",
+                    flush=True,
                 )
-                timer.tic()
         flush()
     print(f"wrote {n} videos to {args.outfile}")
 
