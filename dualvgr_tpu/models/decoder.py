@@ -87,6 +87,76 @@ class OutputUnitOpenEnded(nn.Module):
         )(out)
 
 
+class ConcatELUAttn(nn.Module):
+    """Question-conditioned visual distillation (reference
+    model/AnswerDecoder.py:7-43, unused by the shipped model): attn over
+    [v_proj, q_proj*v_proj] concat -> ELU -> softmax over clips ->
+    weighted sum of the (post-dropout) visual features."""
+
+    module_dim: int = 768
+
+    @nn.compact
+    def __call__(self, question_rep, visual_feat, *, train: bool = False):
+        """question_rep: (B, D); visual_feat: (B, N, D) -> (B, D)."""
+        visual_feat = nn.Dropout(0.15, deterministic=not train)(visual_feat)
+        dense = lambda d, name, bias=True: nn.Dense(
+            d, use_bias=bias, kernel_init=nn.initializers.xavier_uniform(), name=name
+        )
+        q = dense(self.module_dim, "q_proj", bias=False)(question_rep)[:, None]
+        v = dense(self.module_dim, "v_proj", bias=False)(visual_feat)
+        cat = jnp.concatenate([v, q * v], axis=-1)
+        cat = nn.elu(dense(self.module_dim, "cat")(cat))
+        attn = jax.nn.softmax(dense(1, "attn")(cat), axis=1)
+        return (attn * visual_feat).sum(axis=1)
+
+
+class MFBAttn(nn.Module):
+    """MFB-scored visual distillation (reference AnswerDecoder.py:45-79,
+    unused): attention logits from MFB(v_proj, q_proj*v_proj)."""
+
+    module_dim: int = 768
+
+    @nn.compact
+    def __call__(self, question_rep, visual_feat, *, train: bool = False):
+        from dualvgr_tpu.models.fusion import MFB
+
+        visual_feat = nn.Dropout(0.15, deterministic=not train)(visual_feat)
+        dense = lambda d, name: nn.Dense(
+            d, use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name=name
+        )
+        q = dense(self.module_dim, "q_proj")(question_rep)[:, None]
+        v = dense(self.module_dim, "v_proj")(visual_feat)
+        cat = MFB(self.module_dim, mm_dim=self.module_dim, factor=2, name="cat")(
+            v, jnp.broadcast_to(q, v.shape) * v
+        )
+        attn = jax.nn.softmax(
+            nn.Dense(1, kernel_init=nn.initializers.xavier_uniform(), name="attn")(cat),
+            axis=1,
+        )
+        return (attn * visual_feat).sum(axis=1)
+
+
+class SimpleConcatELUAttn(nn.Module):
+    """Plain [v_proj, q_proj] concat distillation (reference
+    AnswerDecoder.py:117-153, unused). MFBSimpleAttn (:81-115) is omitted:
+    its __init__ calls super(MFBAttn, ...) and cannot construct."""
+
+    module_dim: int = 768
+
+    @nn.compact
+    def __call__(self, question_rep, visual_feat, *, train: bool = False):
+        visual_feat = nn.Dropout(0.15, deterministic=not train)(visual_feat)
+        dense = lambda d, name, bias=True: nn.Dense(
+            d, use_bias=bias, kernel_init=nn.initializers.xavier_uniform(), name=name
+        )
+        q = dense(self.module_dim, "q_proj", bias=False)(question_rep)[:, None]
+        v = dense(self.module_dim, "v_proj", bias=False)(visual_feat)
+        cat = jnp.concatenate([v, jnp.broadcast_to(q, v.shape)], axis=-1)
+        cat = nn.elu(dense(self.module_dim, "cat")(cat))
+        attn = jax.nn.softmax(dense(1, "attn")(cat), axis=1)
+        return (attn * visual_feat).sum(axis=1)
+
+
 class GateOutputUnitOpenEnded(nn.Module):
     """GateOutputUnitOpenEnded (reference model/AnswerDecoder.py:204-225).
 
