@@ -1,0 +1,159 @@
+"""Per-component eval timing breakdown on the real chip (chained timing).
+
+Times each stage of the flagship eval forward in isolation with the same
+dependency-chained fori_loop methodology bench.py uses, to show where the
+~12.5 ms eval step goes. Run alone (the chip is single-tenant):
+
+    python benchmarks/eval_breakdown.py [--batch 256] [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def chain_time(fn, args, steps):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chained(args, n):
+        x0 = args[0]
+
+        def body(i, carry):
+            acc, x = carry
+            out = fn(x, *args[1:])
+            s = out.sum() if hasattr(out, "sum") else sum(o.sum() for o in out)
+            return acc + s, x + s * 1e-30
+
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.zeros((), "float32"), x0))
+        return acc
+
+    float(chained(args, 1))
+    float(chained(args, steps + 1))
+    t0 = time.perf_counter()
+    float(chained(args, 1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chained(args, steps + 1))
+    tn = time.perf_counter() - t0
+    return (tn - t1) / steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--pallas", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dualvgr_tpu.models import DualVGR
+    from dualvgr_tpu.models.dualvgr import DualVGRUnitStack  # noqa: F401
+    from dualvgr_tpu import train_lib
+    from dualvgr_tpu.parallel import data_mesh, replicate, shard_batch
+
+    b, t, vocab, answers = args.batch, 24, 8000, 4000
+    model = DualVGR(
+        vision_dim=2048, module_dim=768, word_dim=300,
+        question_vocab_size=vocab, num_answers=answers, num_of_nodes=16,
+        graph_layers=1, unit_layers=1, use_pallas=bool(args.pallas),
+    )
+    rng = np.random.RandomState(0)
+    app = rng.randn(b, 16, 16, 2048).astype(np.float32)
+    mot = rng.randn(b, 16, 2048).astype(np.float32)
+    q = rng.randint(1, vocab, (b, t)).astype(np.int32)
+    qlen = rng.randint(4, t + 1, (b,)).astype(np.int32)
+    for i in range(b):
+        q[i, qlen[i]:] = 0
+
+    opt = train_lib.make_optimizer(1e-4, 100)
+    state = train_lib.create_train_state(
+        model, jax.random.key(666, impl="rbg"), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+    mesh = data_mesh()
+    state = replicate(state, mesh)
+    appd, motd, qd, qlend = shard_batch((app, mot, q, qlen), mesh)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    params = state.params
+
+    timings = {}
+
+    # full model
+    timings["full_eval"] = chain_time(
+        lambda a, m_, qq, ql: model.apply(variables, a, m_, qq, ql, train=False).logits,
+        (appd, motd, qd, qlend), args.steps,
+    )
+
+    # appearance encoder alone (dropout-off tanh + BiLSTM over B*C clips)
+    from dualvgr_tpu.models.encoders import AppearanceEncoder
+
+    app_enc = AppearanceEncoder(768, bool(args.pallas))
+    app_vars = {"params": params["visual_appearance_input_unit"]}
+    timings["appearance_encoder"] = chain_time(
+        lambda a: app_enc.apply(app_vars, a, train=False),
+        (appd,), args.steps,
+    )
+
+    # tanh alone over the appearance tensor (HBM-bound elementwise)
+    timings["tanh_only"] = chain_time(lambda a: jnp.tanh(a), (appd,), args.steps)
+
+    # in-projection matmul alone (B*C*F, 2048) @ (2048, 2*4h)
+    wf = params["visual_appearance_input_unit"]["encoder"]["w_ih_fwd"]
+    wb = params["visual_appearance_input_unit"]["encoder"]["w_ih_bwd"]
+    w2 = jnp.concatenate([wf, wb], axis=1)  # (2048, 3072)
+
+    def inproj(a, w):
+        x = a.reshape(-1, a.shape[-1])
+        return x @ w
+
+    timings["app_inproj_matmul"] = chain_time(inproj, (appd, w2), args.steps)
+    timings["app_tanh_plus_inproj"] = chain_time(
+        lambda a, w: jnp.tanh(a).reshape(-1, a.shape[-1]) @ w, (appd, w2), args.steps
+    )
+
+    # question encoder alone
+    from dualvgr_tpu.models.encoders import QuestionEncoder
+
+    q_enc = QuestionEncoder(vocab, 300, 768, bool(args.pallas))
+    q_vars = {"params": params["linguistic_input_unit"]}
+    timings["question_encoder"] = chain_time(
+        lambda qq, ql: q_enc.apply(q_vars, qq, ql, train=False)[0],
+        (qd, qlend), args.steps,
+    )
+
+    # motion encoder
+    from dualvgr_tpu.models.encoders import MotionEncoder
+
+    m_enc = MotionEncoder(768)
+    m_vars = {"params": params["visual_motion_input_unit"]}
+    timings["motion_encoder"] = chain_time(
+        lambda m_: m_enc.apply(m_vars, m_), (motd,), args.steps
+    )
+
+    # unit stack alone (graph reasoning + MFB), given precomputed encodings
+    stack = DualVGRUnitStack(300, 768, 16, 1, 1, bool(args.pallas))
+    stack_vars = {"params": params["visual_input_unit"]}
+    app_enc_out = app_enc.apply(app_vars, appd, train=False)
+    mot_out = m_enc.apply(m_vars, motd)
+    q_emb, words, dynamic = q_enc.apply(q_vars, qd, qlend, train=False)
+    timings["unit_stack"] = chain_time(
+        lambda a, m_, dyn, w, ql: stack.apply(
+            stack_vars, a, m_, dyn, w, ql, train=False
+        )[0],
+        (app_enc_out, mot_out, dynamic, words, qlend), args.steps,
+    )
+
+    ms = {k: round(v * 1e3, 3) for k, v in sorted(timings.items(), key=lambda kv: -kv[1])}
+    print(json.dumps({"batch": b, "pallas": bool(args.pallas), "ms": ms}))
+
+
+if __name__ == "__main__":
+    main()

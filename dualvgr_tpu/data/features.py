@@ -51,9 +51,17 @@ class FeatureStore:
         )
 
     def gather(self, rows: np.ndarray) -> np.ndarray:
-        """Gather feature rows (duplicates allowed, any order)."""
+        """Gather feature rows (duplicates allowed, any order).
+
+        RAM-cached stores route through the native threaded gather
+        (data/_gather.cpp) when it is available — batch assembly for the
+        flagship appearance features copies 0.5 GB/step, which numpy fancy
+        indexing runs on one core; numpy remains the fallback."""
         if self._cache is not None:
-            return self._cache[rows]
+            from dualvgr_tpu.data import native
+
+            out = native.gather_rows(self._cache, rows)
+            return out if out is not None else self._cache[rows]
         uniq, inverse = np.unique(rows, return_inverse=True)
         with self._lock:
             block = self._file[self.dataset_name][uniq]  # sorted unique read

@@ -35,8 +35,23 @@ def maybe_initialize_distributed() -> bool:
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     ):
+        # CPU backends need an explicit cross-process collectives impl
+        # (TPU/ICI needs none); harmless if unsupported by the jax build.
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            try:
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:
+                pass
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(
+                coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS"),
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kw)
             return True
         except RuntimeError:
             return True  # already initialized
@@ -59,6 +74,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sharding):
+    """Place one host array under ``sharding``.
+
+    Single-process: plain (async) ``device_put``. Multi-process: the mesh
+    spans devices this process cannot address, so build the global array
+    from per-shard callbacks — every process passes the same global value
+    and jax materializes only the locally-addressable shards.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import numpy as np_
+
+    x = np_.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (e.g. the train state) onto every mesh device.
 
@@ -66,7 +97,7 @@ def replicate(tree, mesh: Mesh):
     device, which jit refuses to mix with mesh-sharded batches.
     """
     sharding = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sharding), tree)
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
@@ -74,11 +105,11 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
 
     Leading dims must be divisible by the mesh size; the data loader pads
     the final partial batch (dualvgr_tpu/data/loader.py) so this holds.
+    Under multi-host (jax.process_count() > 1) every process must pass the
+    same global batch; only local shards are materialized.
     """
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    return jax.tree_util.tree_map(lambda x: _put(x, sharding), batch)
 
 
 def prefetch_to_device(iterator, mesh: Mesh, axis_name: str = "data", size: int = 2):

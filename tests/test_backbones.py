@@ -10,6 +10,8 @@ Tiny layer counts (1,1,1,1) keep runtime low; the porting code is
 layer-structured so correctness extends to (3,4,23,3).
 """
 
+import pytest
+
 import numpy as np
 import torch
 import torch.nn as nn
@@ -21,6 +23,8 @@ from dualvgr_tpu.models.backbones.resnext3d import (
     ResNeXt101_3D,
     port_resnext101_state_dict,
 )
+
+pytestmark = pytest.mark.slow
 
 
 class TorchBottleneck(nn.Module):

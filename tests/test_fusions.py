@@ -21,6 +21,8 @@ from dualvgr_tpu.models.fusions import (
     power_normalize,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", sorted(FUSIONS))
 def test_factory_shapes(name, rng):

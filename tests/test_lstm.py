@@ -10,6 +10,8 @@ import jax.numpy as jnp
 
 from dualvgr_tpu.ops.lstm import LSTMParams, bilstm, lstm_unroll
 
+pytestmark = pytest.mark.slow
+
 
 def _torch_lstm(input_dim, hidden, bidirectional, seed=0):
     torch.manual_seed(seed)

@@ -15,6 +15,8 @@ import jax
 from benchmarks.torch_twin import TorchDualVGR, load_flax_params
 from dualvgr_tpu.models import DualVGR
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("unit_layers,graph_layers", [(1, 1), (2, 1), (2, 2)])
 def test_full_model_logits_match_torch_twin(rng, unit_layers, graph_layers):

@@ -4,6 +4,8 @@ Runs in interpret mode on CPU (the driver benches the compiled kernel on
 real TPU hardware; see benchmarks/README.md).
 """
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -11,6 +13,8 @@ import jax.numpy as jnp
 
 from dualvgr_tpu.models.graph import AttentionSFGCN, PunishGAT, dense_self_loop_adjacency
 from dualvgr_tpu.ops.gat_pallas import fused_gat_cycle
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(rng, B, N, D, H):

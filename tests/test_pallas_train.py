@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import dualvgr_tpu.ops.lstm_pallas_train as lpt
 from dualvgr_tpu.ops.lstm import LSTMParams, bilstm, init_lstm_params
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _interpret():

@@ -20,6 +20,8 @@ import pytest
 from preprocess import preprocess_features
 from preprocess.datautils import svqa
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def video_corpus(tmp_path_factory):

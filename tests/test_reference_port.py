@@ -19,10 +19,10 @@ import jax.numpy as jnp
 
 REFERENCE = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(os.path.join(REFERENCE, "model")),
     reason="reference repo not mounted",
-)
+)]
 
 
 @pytest.fixture(scope="module")

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from dualvgr_tpu.models.backbones import resnet3d_zoo as zoo
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize(
     "ctor,out_ch",

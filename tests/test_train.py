@@ -1,6 +1,8 @@
 """Training-loop semantics: schedule, masked batches, checkpoint round-trip,
 and an end-to-end learning smoke test on the sharded mesh."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -9,6 +11,8 @@ import jax.numpy as jnp
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib
 from dualvgr_tpu.parallel import data_mesh, replicate, shard_batch
+
+pytestmark = pytest.mark.slow
 
 
 def tiny_model(**kw):

@@ -9,6 +9,8 @@ losses (reference utils.py:10-31, train.py:146-154), clip 12
 (train.py:158), Adam lr (train.py:85).
 """
 
+import pytest
+
 import numpy as np
 import torch
 
@@ -19,6 +21,8 @@ import optax
 from benchmarks.torch_twin import TorchDualVGR, load_flax_params
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu.ops.losses import dualvgr_total_loss
+
+pytestmark = pytest.mark.slow
 
 ALPHA, BETA, LR = 0.8, 1e-6, 1e-3
 
