@@ -12,24 +12,37 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+# self-pathing: PYTHONPATH displaces the axon TPU plugin's registration on
+# this machine, so the repo root is appended here instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def chain_time(fn, args, steps):
+
+def chain_time(fn, args, steps, perturb=0):
+    """Chained timing; ``perturb`` picks WHICH argument carries the iteration
+    dependency — pick a SMALL one, or the chain's own rewrite of a large
+    input adds a full HBM round-trip per iteration to the measurement."""
     import jax
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def chained(args, n):
-        x0 = args[0]
+        x0 = args[perturb]
 
         def body(i, carry):
             acc, x = carry
-            out = fn(x, *args[1:])
+            a = list(args)
+            a[perturb] = x
+            out = fn(*a)
             s = out.sum() if hasattr(out, "sum") else sum(o.sum() for o in out)
-            return acc + s, x + s * 1e-30
+            s = s.astype(jnp.float32)
+            # dtype-preserving perturbation keeps int inputs chainable
+            return acc + s, x + (s * 1e-30).astype(x.dtype)
 
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.zeros((), "float32"), x0))
         return acc
@@ -86,37 +99,46 @@ def main():
 
     timings = {}
 
-    # full model
+    # full model (chained through the small motion tensor, not the 0.5 GB
+    # appearance tensor — rewriting that each iteration costs ~1.3 ms/iter)
     timings["full_eval"] = chain_time(
-        lambda a, m_, qq, ql: model.apply(variables, a, m_, qq, ql, train=False).logits,
-        (appd, motd, qd, qlend), args.steps,
+        lambda m_, a, qq, ql: model.apply(variables, a, m_, qq, ql, train=False).logits,
+        (motd, appd, qd, qlend), args.steps,
     )
 
-    # appearance encoder alone (dropout-off tanh + BiLSTM over B*C clips)
+    # appearance encoder alone, chained through one LSTM weight leaf
     from dualvgr_tpu.models.encoders import AppearanceEncoder
 
     app_enc = AppearanceEncoder(768, bool(args.pallas))
-    app_vars = {"params": params["visual_appearance_input_unit"]}
+    app_params = params["visual_appearance_input_unit"]
+    wf_leaf = app_params["encoder"]["w_ih_fwd"]
+
+    def run_app_enc(wf, a):
+        p = jax.tree_util.tree_map(lambda x: x, app_params)
+        p = dict(p)
+        p["encoder"] = dict(p["encoder"])
+        p["encoder"]["w_ih_fwd"] = wf
+        return app_enc.apply({"params": p}, a, train=False)
+
     timings["appearance_encoder"] = chain_time(
-        lambda a: app_enc.apply(app_vars, a, train=False),
-        (appd,), args.steps,
+        run_app_enc, (wf_leaf, appd), args.steps
     )
 
-    # tanh alone over the appearance tensor (HBM-bound elementwise)
-    timings["tanh_only"] = chain_time(lambda a: jnp.tanh(a), (appd,), args.steps)
+    # tanh alone over the appearance tensor (HBM-bound elementwise);
+    # chained through a scalar fused into the tanh pass
+    timings["tanh_only"] = chain_time(
+        lambda e, a: jnp.tanh(a + e), (jnp.zeros(()), appd), args.steps
+    )
 
     # in-projection matmul alone (B*C*F, 2048) @ (2048, 2*4h)
-    wf = params["visual_appearance_input_unit"]["encoder"]["w_ih_fwd"]
-    wb = params["visual_appearance_input_unit"]["encoder"]["w_ih_bwd"]
-    w2 = jnp.concatenate([wf, wb], axis=1)  # (2048, 3072)
+    wb = app_params["encoder"]["w_ih_bwd"]
+    w2 = jnp.concatenate([wf_leaf, wb], axis=1)  # (2048, 3072)
 
-    def inproj(a, w):
-        x = a.reshape(-1, a.shape[-1])
-        return x @ w
-
-    timings["app_inproj_matmul"] = chain_time(inproj, (appd, w2), args.steps)
+    timings["app_inproj_matmul"] = chain_time(
+        lambda w, a: a.reshape(-1, a.shape[-1]) @ w, (w2, appd), args.steps
+    )
     timings["app_tanh_plus_inproj"] = chain_time(
-        lambda a, w: jnp.tanh(a).reshape(-1, a.shape[-1]) @ w, (appd, w2), args.steps
+        lambda w, a: jnp.tanh(a).reshape(-1, a.shape[-1]) @ w, (w2, appd), args.steps
     )
 
     # question encoder alone
@@ -141,14 +163,14 @@ def main():
     # unit stack alone (graph reasoning + MFB), given precomputed encodings
     stack = DualVGRUnitStack(300, 768, 16, 1, 1, bool(args.pallas))
     stack_vars = {"params": params["visual_input_unit"]}
-    app_enc_out = app_enc.apply(app_vars, appd, train=False)
+    app_enc_out = app_enc.apply({"params": app_params}, appd, train=False)
     mot_out = m_enc.apply(m_vars, motd)
     q_emb, words, dynamic = q_enc.apply(q_vars, qd, qlend, train=False)
     timings["unit_stack"] = chain_time(
-        lambda a, m_, dyn, w, ql: stack.apply(
+        lambda dyn, a, m_, w, ql: stack.apply(
             stack_vars, a, m_, dyn, w, ql, train=False
         )[0],
-        (app_enc_out, mot_out, dynamic, words, qlend), args.steps,
+        (dynamic, app_enc_out, mot_out, words, qlend), args.steps,
     )
 
     ms = {k: round(v * 1e3, 3) for k, v in sorted(timings.items(), key=lambda kv: -kv[1])}

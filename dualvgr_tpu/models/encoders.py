@@ -63,10 +63,12 @@ class BiLSTM(nn.Module):
         if fused is not None and not self.is_initializing():
             from dualvgr_tpu.ops import lstm_pallas
 
-            b_, t, _ = x.shape
-            x2 = x.reshape(b_ * t, d)
-            xf = (x2 @ fwd.w_ih + fwd.b).reshape(b_, t, 4 * h).transpose(1, 0, 2)
-            xb = (x2 @ bwd.w_ih + bwd.b).reshape(b_, t, 4 * h).transpose(1, 0, 2)[::-1]
+            # time-major (T, B, 4H) written DIRECTLY by the matmul: XLA emits
+            # the transposed output tiling for free, where reshape+transpose
+            # costs a full extra HBM round-trip per direction (~1 ms each at
+            # flagship shapes — measured in benchmarks/eval_breakdown.py)
+            xf = jnp.einsum("btd,dh->tbh", x, fwd.w_ih) + fwd.b
+            xb = (jnp.einsum("btd,dh->tbh", x, bwd.w_ih) + bwd.b)[::-1]
             if fused == "final_trainable":
                 # custom-VJP kernel pair: fused forward AND backward recurrence
                 from dualvgr_tpu.ops.lstm_pallas_train import (

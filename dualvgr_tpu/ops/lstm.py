@@ -121,9 +121,10 @@ def lstm_unroll(params: LSTMParams, x, lengths=None, *, reverse: bool = False):
     Returns (outputs (B, T, H), final_h (B, H)).
     """
     bsz, t, _ = x.shape
-    # one fused projection matmul over all timesteps (MXU-friendly)
-    xproj = x.reshape(bsz * t, -1) @ params.w_ih + params.b
-    xproj = xproj.reshape(bsz, t, -1).transpose(1, 0, 2)  # (T, B, 4H)
+    # one fused projection matmul over all timesteps, written directly in
+    # time-major (T, B, 4H) layout (transposed output tiling is free on the
+    # MXU; reshape+transpose would cost an extra HBM round-trip)
+    xproj = jnp.einsum("btd,dh->tbh", x, params.w_ih) + params.b
     if lengths is None:
         mask = jnp.ones((t, bsz, 1), x.dtype)
     else:
