@@ -64,6 +64,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # first-compile of the flagship programs costs minutes on a tunneled
+    # backend; the persistent cache makes repeat bench runs start in seconds
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from dualvgr_tpu.models import DualVGR
     from dualvgr_tpu import train_lib
     from dualvgr_tpu.parallel import data_mesh, replicate, shard_batch
@@ -182,17 +191,41 @@ def main():
         gates["train_grads"] = f"ok rel_loss={rel_l:.2e} rel_gnorm={rel_g:.2e}"
 
     # ---- eval timing: dependency-chained iterations inside one jit ----
+    # The chain must feed EVERY independent input path of the model, or XLA
+    # hoists the untouched path out of the fori_loop as loop-invariant and
+    # the measurement silently drops it. Perturbing only the appearance
+    # tensor (the r01 methodology) let the whole question encoder be
+    # computed once (~0.9 ms/step flattered); perturbing weight leaves
+    # instead lets input-only subgraphs (tanh of the features, the
+    # unperturbed direction's projection) be hoisted — measured 3 ms/step
+    # flattered. So the chain perturbs the visual INPUT tensors themselves
+    # (one fused elementwise pass over them per iteration — the same work a
+    # real serving step does to materialize fresh inputs, and XLA fuses the
+    # add into the consumer) plus the embedding table, which every
+    # question-path op depends on (the tokens are ints and stay fixed).
+    def _perturbed_vars(variables, eps):
+        p = dict(variables["params"])
+        li = dict(p["linguistic_input_unit"])
+        li["encoder_embed"] = {
+            "embedding": li["encoder_embed"]["embedding"] + eps
+        }
+        p["linguistic_input_unit"] = li
+        return {**variables, "params": p}
+
     @functools.partial(jax.jit, static_argnums=(2,))
     def chained_eval(variables, inputs, n):
         a0, m0, qq, ql = inputs
 
         def body(i, carry):
-            acc, a = carry
-            logits = model.apply(variables, a, m0, qq, ql, train=False).logits
+            acc, eps = carry
+            v = _perturbed_vars(variables, eps)
+            logits = model.apply(v, a0 + eps, m0 + eps, qq, ql, train=False).logits
             s = logits.sum()
-            return acc + s, a + s * 1e-30
+            return acc + s, s * 1e-30
 
-        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.zeros((), "float32"), a0))
+        acc, _ = jax.lax.fori_loop(
+            0, n, body, (jnp.zeros((), "float32"), jnp.zeros((), "float32"))
+        )
         return acc
 
     eval_per_step = _time_chained(chained_eval, variables, inputs, steps=steps)

@@ -68,6 +68,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from dualvgr_tpu.models import DualVGR
     from dualvgr_tpu.models.dualvgr import DualVGRUnitStack  # noqa: F401
     from dualvgr_tpu import train_lib
@@ -99,11 +106,26 @@ def main():
 
     timings = {}
 
-    # full model (chained through the small motion tensor, not the 0.5 GB
-    # appearance tensor — rewriting that each iteration costs ~1.3 ms/iter)
+    # full model. The chain must feed EVERY independent input branch or XLA
+    # hoists the untouched branches out of the timing loop as loop-invariant
+    # (chaining through the motion tensor alone lets BOTH encoders be
+    # computed once — the "full" time collapses to ~1.1 ms; chaining through
+    # weight leaves still hoists input-only subgraphs like tanh(features)
+    # and the other direction's projection). Perturb the visual input
+    # tensors themselves plus the embedding table (covers the int-token
+    # question path) — the same methodology as bench.py.
+    def full_eval(eps, a, m_, qq, ql):
+        p = dict(variables["params"])
+        li = dict(p["linguistic_input_unit"])
+        li["encoder_embed"] = {
+            "embedding": li["encoder_embed"]["embedding"] + eps
+        }
+        p["linguistic_input_unit"] = li
+        v = {**variables, "params": p}
+        return model.apply(v, a + eps, m_ + eps, qq, ql, train=False).logits
+
     timings["full_eval"] = chain_time(
-        lambda m_, a, qq, ql: model.apply(variables, a, m_, qq, ql, train=False).logits,
-        (motd, appd, qd, qlend), args.steps,
+        full_eval, (jnp.zeros(()), appd, motd, qd, qlend), args.steps
     )
 
     # appearance encoder alone, chained through one LSTM weight leaf
