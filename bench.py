@@ -231,6 +231,60 @@ def main():
     eval_per_step = _time_chained(chained_eval, variables, inputs, steps=steps)
     eval_qa_per_sec_chip = batch / eval_per_step / n_chips
 
+    # ---- secondary: bf16-stream eval (cfg.tpu.compute_dtype=bfloat16) ----
+    # Measures the mixed-precision serving path (bf16 input-projection
+    # operands + bf16 gate streaming, fp32 accumulate/recurrence) and its
+    # numeric distance from the fp32 path as deployment evidence. The
+    # headline metric stays fp32.
+    bf16 = {}
+    if use_pallas and os.environ.get("BENCH_BF16", "1") == "1":
+        from dualvgr_tpu.ops import lstm_pallas
+
+        prev_sd = lstm_pallas.STREAM_DTYPE
+        try:
+            lstm_pallas.STREAM_DTYPE = "bfloat16"
+
+            # fresh jit (STREAM_DTYPE is read at trace time; reusing
+            # chained_eval would hit its fp32-traced cache entry)
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def chained_eval_sd(variables, inputs, n):
+                a0, m0, qq, ql = inputs
+
+                def body(i, carry):
+                    acc, eps = carry
+                    v = _perturbed_vars(variables, eps)
+                    logits = model.apply(
+                        v, a0 + eps, m0 + eps, qq, ql, train=False
+                    ).logits
+                    s = logits.sum()
+                    return acc + s, s * 1e-30
+
+                acc, _ = jax.lax.fori_loop(
+                    0, n, body,
+                    (jnp.zeros((), "float32"), jnp.zeros((), "float32")),
+                )
+                return acc
+
+            lo16 = np.asarray(
+                jax.jit(
+                    lambda v, i: model.apply(
+                        v, i[0], i[1], i[2], i[3], train=False
+                    ).logits
+                )(variables, inputs)
+            )
+            err = float(np.max(np.abs(lo16 - lx)))
+            agree = float((lo16.argmax(-1) == lx.argmax(-1)).mean())
+            per = _time_chained(chained_eval_sd, variables, inputs, steps=steps)
+            qps = batch / per / n_chips
+            bf16 = {
+                "eval_bf16_qa_per_sec_per_chip": round(qps, 2),
+                "eval_bf16_mfu": None,  # filled after flops are computed
+                "bf16_vs_fp32_max_abs_err": round(err, 5),
+                "bf16_argmax_agreement": round(agree, 4),
+            }
+        finally:
+            lstm_pallas.STREAM_DTYPE = prev_sd
+
     # ---- train timing: chain through the updated TrainState ----
     train_batch = inputs + labels
 
@@ -261,6 +315,10 @@ def main():
     peak = PEAK_TFLOPS * 1e12
     eval_mfu = eval_flops_qa * eval_qa_per_sec_chip / peak
     train_mfu = train_flops_qa * train_qa_per_sec_chip / peak
+    if bf16:
+        bf16["eval_bf16_mfu"] = round(
+            eval_flops_qa * bf16["eval_bf16_qa_per_sec_per_chip"] / peak, 4
+        )
 
     print(
         json.dumps(
@@ -279,6 +337,7 @@ def main():
                 "baseline_qa_per_sec": baseline,
                 "pallas_gate": gates["eval"],
                 "train_grad_gate": gates["train_grads"],
+                **bf16,
             }
         )
     )

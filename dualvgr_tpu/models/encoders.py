@@ -62,13 +62,17 @@ class BiLSTM(nn.Module):
         fwd, bwd = make("fwd"), make("bwd")
         if fused is not None and not self.is_initializing():
             from dualvgr_tpu.ops import lstm_pallas
+            from dualvgr_tpu.ops.lstm import time_major_input_proj
 
             # time-major (T, B, 4H) written DIRECTLY by the matmul: XLA emits
             # the transposed output tiling for free, where reshape+transpose
             # costs a full extra HBM round-trip per direction (~1 ms each at
-            # flagship shapes — measured in benchmarks/eval_breakdown.py)
-            xf = jnp.einsum("btd,dh->tbh", x, fwd.w_ih) + fwd.b
-            xb = (jnp.einsum("btd,dh->tbh", x, bwd.w_ih) + bwd.b)[::-1]
+            # flagship shapes — measured in benchmarks/eval_breakdown.py).
+            # Under a stream dtype the matmul also consumes bf16 operands
+            # with fp32 accumulation (see time_major_input_proj).
+            sd = lstm_pallas.STREAM_DTYPE
+            xf = time_major_input_proj(x, fwd, sd)
+            xb = time_major_input_proj(x, bwd, sd)[::-1]
             if fused == "final_trainable":
                 # custom-VJP kernel pair: fused forward AND backward recurrence
                 from dualvgr_tpu.ops.lstm_pallas_train import (

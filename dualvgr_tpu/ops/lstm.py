@@ -79,6 +79,32 @@ def init_lstm_params(key, input_dim: int, hidden: int, dtype=jnp.float32) -> LST
 SCAN_UNROLL = 4
 
 
+def time_major_input_proj(x, params: LSTMParams, stream_dtype=None):
+    """(B, T, D) -> (T, B, 4H) fused input projection ``x @ w_ih + b``.
+
+    Written directly in time-major layout (the transposed output tiling is
+    free on the MXU; reshape+transpose costs an extra HBM round-trip). With
+    ``stream_dtype`` (e.g. bfloat16, from cfg.tpu.compute_dtype) the matmul
+    consumes reduced-precision OPERANDS while accumulating in float32 —
+    halves the dominant operand traffic of the model's hottest matmul and
+    engages the MXU's native bf16 path; the bias add stays float32. Params
+    themselves remain float32 (mixed-precision policy: the astype's VJP
+    casts gradients back).
+    """
+    if stream_dtype is None:
+        return jnp.einsum("btd,dh->tbh", x, params.w_ih) + params.b
+    xs = x.astype(stream_dtype)
+    ws = params.w_ih.astype(stream_dtype)
+    if jax.default_backend() == "tpu":
+        xp = jnp.einsum("btd,dh->tbh", xs, ws, preferred_element_type=jnp.float32)
+    else:
+        # the CPU backend has no BF16 x BF16 -> F32 dot; upcasting the
+        # already-rounded operands is numerically equivalent (products of
+        # two bf16 values are exact in fp32, accumulation is fp32 either way)
+        xp = jnp.einsum("btd,dh->tbh", xs.astype(jnp.float32), ws.astype(jnp.float32))
+    return xp + params.b
+
+
 def _scan_direction(params: LSTMParams, xproj, mask, reverse: bool):
     """Run one direction over time.
 
@@ -121,10 +147,20 @@ def lstm_unroll(params: LSTMParams, x, lengths=None, *, reverse: bool = False):
     Returns (outputs (B, T, H), final_h (B, H)).
     """
     bsz, t, _ = x.shape
-    # one fused projection matmul over all timesteps, written directly in
-    # time-major (T, B, 4H) layout (transposed output tiling is free on the
-    # MXU; reshape+transpose would cost an extra HBM round-trip)
-    xproj = jnp.einsum("btd,dh->tbh", x, params.w_ih) + params.b
+    # one fused projection matmul over all timesteps (see
+    # time_major_input_proj); honors the global stream dtype so the XLA path
+    # and the fused Pallas path share identical input-projection numerics
+    # (the bench's on-device equivalence gate stays tight under bf16).
+    from dualvgr_tpu.ops import lstm_pallas
+
+    sd = lstm_pallas.STREAM_DTYPE
+    xproj = time_major_input_proj(x, params, sd)
+    if sd is not None:
+        # round-trip through the stream dtype: the fused Pallas path streams
+        # the projected gates to the kernel in sd, so the XLA path applies
+        # the SAME rounding — the two implementations stay bit-comparable
+        # and the bench's on-device equivalence gate holds at fp32 tightness
+        xproj = xproj.astype(sd).astype(x.dtype)
     if lengths is None:
         mask = jnp.ones((t, bsz, 1), x.dtype)
     else:
