@@ -276,9 +276,32 @@ def main():
             agree = float((lo16.argmax(-1) == lx.argmax(-1)).mean())
             per = _time_chained(chained_eval_sd, variables, inputs, steps=steps)
             qps = batch / per / n_chips
+
+            # bf16 train step (same mixed-precision policy in the backward)
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def chained_train_sd(state, b, n):
+                def body(i, st):
+                    st, _metrics = train_lib.train_step(
+                        st, b, model=model, optimizer=opt, alpha=1.0, beta=1e-8
+                    )
+                    return st
+
+                st = jax.lax.fori_loop(0, n, body, state)
+                return jnp.sum(
+                    st.params["visual_motion_input_unit"]["proj"]["kernel"]
+                )
+
+            tb = inputs + labels
+            train16_per = _time_chained(
+                chained_train_sd, state, tb, steps=train_steps
+            )
             bf16 = {
                 "eval_bf16_qa_per_sec_per_chip": round(qps, 2),
                 "eval_bf16_mfu": None,  # filled after flops are computed
+                "train_bf16_qa_per_sec_per_chip": round(
+                    batch / train16_per / n_chips, 2
+                ),
+                "train_bf16_mfu": None,
                 "bf16_vs_fp32_max_abs_err": round(err, 5),
                 "bf16_argmax_agreement": round(agree, 4),
             }
@@ -318,6 +341,9 @@ def main():
     if bf16:
         bf16["eval_bf16_mfu"] = round(
             eval_flops_qa * bf16["eval_bf16_qa_per_sec_per_chip"] / peak, 4
+        )
+        bf16["train_bf16_mfu"] = round(
+            train_flops_qa * bf16["train_bf16_qa_per_sec_per_chip"] / peak, 4
         )
 
     print(

@@ -73,6 +73,12 @@ class BiLSTM(nn.Module):
             sd = lstm_pallas.STREAM_DTYPE
             xf = time_major_input_proj(x, fwd, sd)
             xb = time_major_input_proj(x, bwd, sd)[::-1]
+            if fused in ("final_trainable", "trainable") and sd is not None:
+                # the trainable kernels stream fp32; round-trip through the
+                # stream dtype so their forward numerics match the XLA path
+                # (which applies the same rounding — see ops/lstm.py)
+                xf = xf.astype(sd).astype(x.dtype)
+                xb = xb.astype(sd).astype(x.dtype)
             if fused == "final_trainable":
                 # custom-VJP kernel pair: fused forward AND backward recurrence
                 from dualvgr_tpu.ops.lstm_pallas_train import (
@@ -81,6 +87,15 @@ class BiLSTM(nn.Module):
 
                 final = bilstm_final_trainable_padded(xf, xb, fwd.w_hh, bwd.w_hh)
                 return None, final
+            if fused == "trainable":
+                # masked + per-step-outputs custom-VJP kernel pair (the
+                # question encoders' training path)
+                from dualvgr_tpu.ops.lstm_pallas_train import bilstm_trainable
+
+                final, outs = bilstm_trainable(
+                    xf, xb, fwd.w_hh, bwd.w_hh, lengths
+                )
+                return outs, final
             if lstm_pallas.STREAM_DTYPE is not None:
                 xf = xf.astype(lstm_pallas.STREAM_DTYPE)
                 xb = xb.astype(lstm_pallas.STREAM_DTYPE)
@@ -127,14 +142,19 @@ class QuestionEncoder(nn.Module):
         words = jnp.tanh(words)
 
         rnn_dim = self.module_dim // 2
-        fused = self.use_pallas and not train
+        if self.use_pallas:
+            # eval: inference kernel; train: masked custom-VJP kernel pair
+            mode_outputs = "outputs" if not train else "trainable"
+            mode_final = "final" if not train else "trainable"
+        else:
+            mode_outputs = mode_final = None
         # (a) per-token outputs == DynamicRNN(words, len) (Preprocessing.py:117)
         dynamic, _ = BiLSTM(rnn_dim, name="concat_rnn")(
-            words, question_len, fused="outputs" if fused else None
+            words, question_len, fused=mode_outputs
         )
         # (b) final-state sentence embedding (Preprocessing.py:119-124)
         _, final = BiLSTM(rnn_dim, name="encoder")(
-            words, question_len, fused="final" if fused else None
+            words, question_len, fused=mode_final
         )
         question_embedding = nn.Dropout(0.18, deterministic=not train)(final)
         return question_embedding, words, dynamic

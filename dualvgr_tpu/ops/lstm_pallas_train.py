@@ -229,3 +229,273 @@ def bilstm_final_trainable_padded(xf, xb, wf, wb, block_r: int = 64):
         xf = jnp.pad(xf, padding)
         xb = jnp.pad(xb, padding)
     return bilstm_final_trainable(xf, xb, wf, wb, block_r)[:r]
+
+
+# ---------------------------------------------------------------------------
+# Generalized trainable kernel: variable-length masking + per-step outputs.
+#
+# Covers the question encoders' two BiLSTMs on the TRAINING path (the
+# appearance encoder keeps the leaner final-only pair above). Packed-sequence
+# semantics match dualvgr_tpu/ops/lstm.py exactly: the forward direction
+# carries state through padded steps (final == state at len-1), the backward
+# direction (fed a TIME-REVERSED stream) stays at zero init until kernel
+# time t >= T - len, and per-step outputs are zero at padding. The masked
+# step's backward follows from h_t = m*h~ + (1-m)*h_prev:
+#     dh~ = m*(dh_carry + m*dout),  dh_prev += (1-m)*(dh_carry + m*dout)
+# and analogously for c; at masked steps dgates vanishes, so dxproj is zero
+# there — identical to jax.grad of the masked scan.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_m(
+    xf_ref, xb_ref, len_ref, whf_ref, whb_ref,
+    final_ref, outs_ref, hprev_ref, cprev_ref,
+    hf, cf, hb, cb,
+    *, t_total, hidden, masked,
+):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        hf[:] = jnp.zeros_like(hf)
+        cf[:] = jnp.zeros_like(cf)
+        hb[:] = jnp.zeros_like(hb)
+        cb[:] = jnp.zeros_like(cb)
+
+    # PRE-step states as residuals: [fwd | bwd] packed on the last axis
+    hprev_ref[0, :, :hidden] = hf[:]
+    hprev_ref[0, :, hidden:] = hb[:]
+    cprev_ref[0, :, :hidden] = cf[:]
+    cprev_ref[0, :, hidden:] = cb[:]
+
+    if masked:
+        lens = len_ref[:]  # (rows, 1) float
+        m_f = (t < lens).astype(jnp.float32)
+        m_b = (t >= t_total - lens).astype(jnp.float32)
+    else:
+        m_f = m_b = None
+
+    for k, (x_ref, w_ref, h_s, c_s, m) in enumerate(
+        ((xf_ref, whf_ref, hf, cf, m_f), (xb_ref, whb_ref, hb, cb, m_b))
+    ):
+        gates = x_ref[0].astype(jnp.float32) + jnp.dot(
+            h_s[:], w_ref[:], preferred_element_type=jnp.float32
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = _sig(f) * c_s[:] + _sig(i) * jnp.tanh(g)
+        h = _sig(o) * jnp.tanh(c)
+        if masked:
+            h = m * h + (1.0 - m) * h_s[:]
+            c = m * c + (1.0 - m) * c_s[:]
+        h_s[:] = h
+        c_s[:] = c
+        off = k * hidden
+        out = h * m if masked else h
+        outs_ref[0, :, off : off + hidden] = out
+
+    @pl.when(t == t_total - 1)
+    def _():
+        final_ref[:, :hidden] = hf[:]
+        final_ref[:, hidden:] = hb[:]
+
+
+def _bwd_kernel_m(
+    xf_ref, xb_ref, len_ref, whf_ref, whb_ref,
+    hprev_ref, cprev_ref, dfinal_ref, douts_ref,
+    dxf_ref, dxb_ref,
+    dhf, dcf, dhb, dcb,
+    *, t_total, hidden, masked,
+):
+    # grid t runs 0..T-1; all t-indexed specs map to forward time T-1-t.
+    # Unlike the final-only pair, dW_hh is NOT accumulated here: the two
+    # (H, 4H) accumulators would put the backward kernel over the 16 MB
+    # scoped-VMEM budget at useful block sizes; the wrapper instead computes
+    # dW_hh = sum_t h_prev^T dgates as ONE big XLA matmul from the hprev
+    # residuals and the dgates (dx) output this kernel already materializes.
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dhf[:] = dfinal_ref[:, :hidden]
+        dhb[:] = dfinal_ref[:, hidden:]
+        dcf[:] = jnp.zeros_like(dcf)
+        dcb[:] = jnp.zeros_like(dcb)
+
+    if masked:
+        tf = t_total - 1 - t  # forward-time index of this grid step
+        lens = len_ref[:]
+        m_f = (tf < lens).astype(jnp.float32)
+        m_b = (tf >= t_total - lens).astype(jnp.float32)
+    else:
+        m_f = m_b = None
+
+    for k, (x_ref, w_ref, dh_s, dc_s, dx_ref, m) in enumerate(
+        (
+            (xf_ref, whf_ref, dhf, dcf, dxf_ref, m_f),
+            (xb_ref, whb_ref, dhb, dcb, dxb_ref, m_b),
+        )
+    ):
+        off = k * hidden
+        h_prev = hprev_ref[0, :, off : off + hidden]
+        c_prev = cprev_ref[0, :, off : off + hidden]
+        gates = x_ref[0].astype(jnp.float32) + jnp.dot(
+            h_prev, w_ref[:], preferred_element_type=jnp.float32
+        )
+        gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+        i, f, g, o = _sig(gi), _sig(gf), jnp.tanh(gg), _sig(go)
+        c = f * c_prev + i * g
+        tc = jnp.tanh(c)
+
+        dout = douts_ref[0, :, off : off + hidden].astype(jnp.float32)
+        if masked:
+            dh_tot = dh_s[:] + m * dout  # out_t = m * h~_t
+            dh = m * dh_tot
+            dh_prev_direct = (1.0 - m) * dh_tot
+            dc_in = m * dc_s[:]
+            dc_prev_direct = (1.0 - m) * dc_s[:]
+        else:
+            dh = dh_s[:] + dout
+            dh_prev_direct = jnp.zeros_like(dh)
+            dc_in = dc_s[:]
+            dc_prev_direct = jnp.zeros_like(dh)
+
+        dc = dc_in + dh * o * (1.0 - tc * tc)
+        do = dh * tc
+        di = dc * g
+        df = dc * c_prev
+        dg = dc * i
+
+        dgates = jnp.concatenate(
+            [
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ],
+            axis=-1,
+        )  # (rows, 4H)
+        dx_ref[0] = dgates.astype(dx_ref.dtype)
+        dh_s[:] = dh_prev_direct + jax.lax.dot_general(
+            dgates, w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dc_s[:] = dc_prev_direct + dc * f
+
+
+def _run_fwd_m(xf, xb, wf, wb, lens, block_r, masked):
+    t_total, rp, g = xf.shape
+    hidden = g // 4
+    kernel = functools.partial(
+        _fwd_kernel_m, t_total=t_total, hidden=hidden, masked=masked
+    )
+    x_spec = pl.BlockSpec((1, block_r, g), lambda rb, t: (t, rb, 0), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((block_r, 1), lambda rb, t: (rb, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((hidden, g), lambda rb, t: (0, 0), memory_space=pltpu.VMEM)
+    res_spec = pl.BlockSpec((1, block_r, 2 * hidden), lambda rb, t: (t, rb, 0), memory_space=pltpu.VMEM)
+    final_spec = pl.BlockSpec((block_r, 2 * hidden), lambda rb, t: (rb, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, 2 * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, rp, 2 * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, rp, 2 * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, rp, 2 * hidden), jnp.float32),
+        ],
+        grid=(rp // block_r, t_total),
+        in_specs=[x_spec, x_spec, len_spec, w_spec, w_spec],
+        out_specs=[final_spec, res_spec, res_spec, res_spec],
+        scratch_shapes=[pltpu.VMEM((block_r, hidden), jnp.float32)] * 4,
+        interpret=INTERPRET,
+    )(xf, xb, lens, wf, wb)
+
+
+def _run_bwd_m(xf, xb, wf, wb, lens, hprev, cprev, dfinal, douts, block_r, masked):
+    t_total, rp, g = xf.shape
+    hidden = g // 4
+    n_rb = rp // block_r
+    kernel = functools.partial(
+        _bwd_kernel_m, t_total=t_total, hidden=hidden, masked=masked
+    )
+    rev = lambda rb, t: (t_total - 1 - t, rb, 0)
+    x_spec_r = pl.BlockSpec((1, block_r, g), rev, memory_space=pltpu.VMEM)
+    res_spec_r = pl.BlockSpec((1, block_r, 2 * hidden), rev, memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((block_r, 1), lambda rb, t: (rb, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((hidden, g), lambda rb, t: (0, 0), memory_space=pltpu.VMEM)
+    final_spec = pl.BlockSpec((block_r, 2 * hidden), lambda rb, t: (rb, 0), memory_space=pltpu.VMEM)
+    dxf, dxb = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, rp, g), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, rp, g), jnp.float32),
+        ],
+        grid=(n_rb, t_total),
+        in_specs=[
+            x_spec_r, x_spec_r, len_spec, w_spec, w_spec,
+            res_spec_r, res_spec_r, final_spec, res_spec_r,
+        ],
+        out_specs=[x_spec_r, x_spec_r],
+        scratch_shapes=[pltpu.VMEM((block_r, hidden), jnp.float32)] * 4,
+        interpret=INTERPRET,
+    )(xf, xb, lens, wf, wb, hprev, cprev, dfinal, douts)
+    # dW_hh = sum over (t, rows) of h_prev^T dgates — one MXU-shaped matmul
+    # per direction over the residuals + the kernel's dgates output
+    dwf = jnp.einsum("trh,trg->hg", hprev[..., :hidden], dxf)
+    dwb = jnp.einsum("trh,trg->hg", hprev[..., hidden:], dxb)
+    return dxf, dxb, dwf, dwb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _bilstm_outs_core(xf, xb, wf, wb, lens, block_r: int, masked: bool):
+    final, outs, _, _ = _run_fwd_m(xf, xb, wf, wb, lens, block_r, masked)
+    return final, outs
+
+
+def _outs_vjp_fwd(xf, xb, wf, wb, lens, block_r, masked):
+    final, outs, hprev, cprev = _run_fwd_m(xf, xb, wf, wb, lens, block_r, masked)
+    return (final, outs), (xf, xb, wf, wb, lens, hprev, cprev)
+
+
+def _outs_vjp_bwd(block_r, masked, res, cot):
+    xf, xb, wf, wb, lens, hprev, cprev = res
+    dfinal, douts = cot
+    dxf, dxb, dwf, dwb = _run_bwd_m(
+        xf, xb, wf, wb, lens, hprev, cprev, dfinal, douts, block_r, masked
+    )
+    return dxf, dxb, dwf, dwb, jnp.zeros_like(lens)
+
+
+_bilstm_outs_core.defvjp(_outs_vjp_fwd, _outs_vjp_bwd)
+
+
+def bilstm_trainable(xf, xb_rev, wf, wb, lengths=None, *, block_r: int = 128):
+    """Differentiable fused BiLSTM with masking and per-step outputs.
+
+    xf/xb_rev: (T, R, 4H) input projections (+bias), xb_rev TIME-REVERSED;
+    wf/wb: (H, 4H); lengths: optional (R,) valid lengths.
+
+    Returns (final (R, 2H), outs (R, T, 2H)) with outs zero-masked at
+    padding and the backward half already re-aligned to original time order
+    (the flip/transpose live OUTSIDE the custom_vjp, so their cotangents
+    are handled by ordinary XLA autodiff).
+    """
+    t_total, r, g = xf.shape
+    hidden = g // 4
+    block_r = min(block_r, r)
+    pad = (-r) % block_r
+    if pad:
+        padding = ((0, 0), (0, pad), (0, 0))
+        xf = jnp.pad(xf, padding)
+        xb_rev = jnp.pad(xb_rev, padding)
+    rp = xf.shape[1]
+    masked = lengths is not None
+    if masked:
+        lens = jnp.pad(lengths.astype(jnp.float32), (0, pad))[:, None]
+    else:
+        lens = jnp.zeros((rp, 1), jnp.float32)
+
+    final, outs = _bilstm_outs_core(xf, xb_rev, wf, wb, lens, block_r, masked)
+    final = final[:r]
+    outs = outs[:, :r].transpose(1, 0, 2)  # (R, T, 2H), bwd half kernel-time
+    out_f, out_b = outs[..., :hidden], outs[..., hidden:]
+    return final, jnp.concatenate([out_f, out_b[:, ::-1]], axis=-1)
