@@ -87,13 +87,14 @@ class BiLSTM(nn.Module):
 
                 final = bilstm_final_trainable_padded(xf, xb, fwd.w_hh, bwd.w_hh)
                 return None, final
-            if fused == "trainable":
-                # masked + per-step-outputs custom-VJP kernel pair (the
-                # question encoders' training path)
+            if fused in ("trainable", "trainable_final"):
+                # masked custom-VJP kernel pair (the question encoders'
+                # training path); per-step outputs only where consumed
                 from dualvgr_tpu.ops.lstm_pallas_train import bilstm_trainable
 
                 final, outs = bilstm_trainable(
-                    xf, xb, fwd.w_hh, bwd.w_hh, lengths
+                    xf, xb, fwd.w_hh, bwd.w_hh, lengths,
+                    with_outputs=(fused == "trainable"),
                 )
                 return outs, final
             if lstm_pallas.STREAM_DTYPE is not None:
@@ -145,7 +146,7 @@ class QuestionEncoder(nn.Module):
         if self.use_pallas:
             # eval: inference kernel; train: masked custom-VJP kernel pair
             mode_outputs = "outputs" if not train else "trainable"
-            mode_final = "final" if not train else "trainable"
+            mode_final = "final" if not train else "trainable_final"
         else:
             mode_outputs = mode_final = None
         # (a) per-token outputs == DynamicRNN(words, len) (Preprocessing.py:117)
