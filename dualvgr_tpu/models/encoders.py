@@ -71,22 +71,27 @@ class BiLSTM(nn.Module):
             # Under a stream dtype the matmul also consumes bf16 operands
             # with fp32 accumulation (see time_major_input_proj).
             sd = lstm_pallas.STREAM_DTYPE
+            if fused == "final_trainable":
+                # whole-layer custom-VJP op (projection + recurrence): skips
+                # the never-needed dX matmul and, under a stream dtype, runs
+                # both heavy matmuls (fwd projection, dW_ih) on bf16 operands
+                from dualvgr_tpu.ops.lstm_pallas_train import (
+                    appearance_bilstm_train,
+                )
+
+                final = appearance_bilstm_train(
+                    x, fwd.w_ih, fwd.b, fwd.w_hh, bwd.w_ih, bwd.b, bwd.w_hh,
+                    stream_dtype=sd,
+                )
+                return None, final
             xf = time_major_input_proj(x, fwd, sd)
             xb = time_major_input_proj(x, bwd, sd)[::-1]
-            if fused in ("final_trainable", "trainable") and sd is not None:
+            if fused in ("trainable", "trainable_final") and sd is not None:
                 # the trainable kernels stream fp32; round-trip through the
                 # stream dtype so their forward numerics match the XLA path
                 # (which applies the same rounding — see ops/lstm.py)
                 xf = xf.astype(sd).astype(x.dtype)
                 xb = xb.astype(sd).astype(x.dtype)
-            if fused == "final_trainable":
-                # custom-VJP kernel pair: fused forward AND backward recurrence
-                from dualvgr_tpu.ops.lstm_pallas_train import (
-                    bilstm_final_trainable_padded,
-                )
-
-                final = bilstm_final_trainable_padded(xf, xb, fwd.w_hh, bwd.w_hh)
-                return None, final
             if fused in ("trainable", "trainable_final"):
                 # masked custom-VJP kernel pair (the question encoders'
                 # training path); per-step outputs only where consumed

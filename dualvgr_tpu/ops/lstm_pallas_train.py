@@ -358,3 +358,111 @@ def bilstm_final_trainable_padded(xf, xb, wf, wb, block_r: int = 128):
         xf, xb, wf, wb, None, with_outputs=False, block_r=block_r
     )
     return final
+
+
+# ---------------------------------------------------------------------------
+# Appearance-encoder whole-layer op: input projection + recurrence in ONE
+# custom_vjp boundary. The appearance stream's input x = tanh(dropout(video
+# features)) never requires a gradient (nothing trainable sits upstream), so
+# the backward can skip the dx = dgates @ W_ih^T matmul — 825 GFLOPs at
+# flagship shapes — outright; the wrapper stop_gradient()s x so the zero
+# cotangent it returns is discarded by construction, never consumed.
+# Owning the projection also lets the mixed-precision path (stream_dtype)
+# run BOTH heavy matmuls (forward projection and dW_ih) with bf16 operands
+# and fp32 accumulation, and stream the projected gates + dgates in bf16.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _app_core(x, wih_f, b_f, whh_f, wih_b, b_b, whh_b, block_r, sd):
+    final, _ = _app_fwd(x, wih_f, b_f, whh_f, wih_b, b_b, whh_b, block_r, sd)
+    return final
+
+
+def _sd_einsum(spec, a, b, sd):
+    """einsum with reduced-precision operands, fp32 accumulation. On CPU
+    backends (no BF16xBF16->F32 dot) the rounded operands are upcast —
+    numerically identical (bf16 products are exact in fp32)."""
+    a, b = a.astype(sd), b.astype(sd)
+    if jax.default_backend() == "tpu":
+        return jnp.einsum(spec, a, b, preferred_element_type=jnp.float32)
+    return jnp.einsum(spec, a.astype(jnp.float32), b.astype(jnp.float32))
+
+
+def _proj(x, wih, b, sd):
+    """(R, T, D) -> (T, R, 4H) in the kernel's stream dtype."""
+    if sd is None:
+        return jnp.einsum("rtd,dh->trh", x, wih) + b
+    xp = _sd_einsum("rtd,dh->trh", x, wih, sd) + b
+    # stream to the kernel in sd: same rounding the XLA path applies
+    # (ops/lstm.py round-trips xproj through sd), half the HBM traffic
+    return xp.astype(sd)
+
+
+def _app_fwd(x, wih_f, b_f, whh_f, wih_b, b_b, whh_b, block_r, sd):
+    r = x.shape[0]
+    xf = _proj(x, wih_f, b_f, sd)
+    xb = _proj(x, wih_b, b_b, sd)[::-1]
+    block_r = min(block_r, r)
+    pad = (-r) % block_r
+    if pad:
+        padding = ((0, 0), (0, pad), (0, 0))
+        xf = jnp.pad(xf, padding)
+        xb = jnp.pad(xb, padding)
+    lens = jnp.zeros((xf.shape[1], 1), jnp.float32)
+    final, _, hprev, cprev = _run_fwd_m(
+        xf, xb, whh_f, whh_b, lens, block_r, False, False
+    )
+    return final[:r], (x, xf, xb, whh_f, whh_b, hprev, cprev, lens)
+
+
+def _app_vjp_fwd(x, wih_f, b_f, whh_f, wih_b, b_b, whh_b, block_r, sd):
+    final, res = _app_fwd(x, wih_f, b_f, whh_f, wih_b, b_b, whh_b, block_r, sd)
+    return final, res
+
+
+def _app_vjp_bwd(block_r, sd, res, dfinal):
+    x, xf, xb, whh_f, whh_b, hprev, cprev, lens = res
+    r = x.shape[0]
+    rp = xf.shape[1]
+    block_r = min(block_r, rp)
+    if rp > r:
+        dfinal = jnp.pad(dfinal, ((0, rp - r), (0, 0)))
+    douts = jnp.zeros((1, block_r, dfinal.shape[1]), jnp.float32)
+    dxf, dxb, dwhf, dwhb = _run_bwd_m(
+        xf, xb, whh_f, whh_b, lens, hprev, cprev, dfinal, douts,
+        block_r, False, False,
+    )
+    dxf, dxb = dxf[:, :r], dxb[:, :r]
+    db_f = jnp.sum(dxf, axis=(0, 1))
+    db_b = jnp.sum(dxb, axis=(0, 1))
+    if sd is None:
+        dwih_f = jnp.einsum("rtd,trh->dh", x, dxf)
+        dwih_b = jnp.einsum("rtd,trh->dh", x, dxb[::-1])
+    else:
+        dwih_f = _sd_einsum("rtd,trh->dh", x, dxf, sd)
+        dwih_b = _sd_einsum("rtd,trh->dh", x, dxb[::-1], sd)
+    # dx is never consumed: the wrapper stop_gradient()s x (see note above)
+    return jnp.zeros_like(x), dwih_f, db_f, dwhf, dwih_b, db_b, dwhb
+
+
+_app_core.defvjp(_app_vjp_fwd, _app_vjp_bwd)
+
+
+def appearance_bilstm_train(
+    x, wih_f, b_f, whh_f, wih_b, b_b, whh_b, *, block_r: int = 128,
+    stream_dtype=None,
+):
+    """Differentiable appearance-encoder BiLSTM layer: fused input
+    projection + final-state recurrence, full-length sequences.
+
+    x: (R, T, D) post-tanh/dropout features (NO gradient is propagated to
+    x — callers' upstream is the raw video input). wih_*: (D, 4H);
+    b_*: (4H,) combined bias (pass ``params.b``; the b_ih+b_hh add outside
+    this op routes the shared gradient to both torch-style bias vectors).
+    Returns final (R, 2H).
+    """
+    return _app_core(
+        jax.lax.stop_gradient(x), wih_f, b_f, whh_f, wih_b, b_b, whh_b,
+        block_r, stream_dtype,
+    )

@@ -200,3 +200,60 @@ def test_masked_outputs_unmasked_variant(rng):
         lambda wf: lpt.bilstm_trainable(xf, xb, wf, bwd.w_hh, None, block_r=4)[0].sum()
     )(fwd.w_hh)
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_appearance_whole_layer_op_matches_scan(rng):
+    """appearance_bilstm_train (projection + recurrence in one custom_vjp):
+    forward == XLA bilstm, grads for every weight/bias == jax.grad of the
+    scan path, and NO gradient leaks to x (stop_gradient by design)."""
+    R, T, D, H = 6, 5, 8, 4
+    x = jnp.asarray(rng.randn(R, T, D).astype(np.float32))
+    fwd = init_lstm_params(jax.random.PRNGKey(6), D, H)
+    bwd = init_lstm_params(jax.random.PRNGKey(7), D, H)
+    tgt = jnp.asarray(rng.randn(R, 2 * H).astype(np.float32))
+
+    got = lpt.appearance_bilstm_train(
+        x, fwd.w_ih, fwd.b, fwd.w_hh, bwd.w_ih, bwd.b, bwd.w_hh, block_r=4
+    )
+    _, want = bilstm(fwd, bwd, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def loss_op(args):
+        wif, bf, whf, wib, bb, whb = args
+        f = lpt.appearance_bilstm_train(
+            x, wif, bf, whf, wib, bb, whb, block_r=4
+        )
+        return ((f - tgt) ** 2).sum()
+
+    def loss_scan(args):
+        wif, bf, whf, wib, bb, whb = args
+        pf = LSTMParams(wif, whf, bf, jnp.zeros_like(bf))
+        pb = LSTMParams(wib, whb, bb, jnp.zeros_like(bb))
+        _, f = bilstm(pf, pb, x)
+        return ((f - tgt) ** 2).sum()
+
+    args = (fwd.w_ih, fwd.b, fwd.w_hh, bwd.w_ih, bwd.b, bwd.w_hh)
+    go = jax.grad(loss_op)(args)
+    gs = jax.grad(loss_scan)(args)
+    for a, b in zip(go, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # x receives no gradient (and asking for one is well-defined: zero)
+    gx = jax.grad(lambda xx: lpt.appearance_bilstm_train(
+        xx, *args, block_r=4).sum())(x)
+    assert float(jnp.abs(gx).sum()) == 0.0
+
+
+def test_appearance_whole_layer_op_bf16_stream(rng):
+    """bf16 stream variant stays close to fp32 (operand rounding only)."""
+    R, T, D, H = 4, 3, 8, 4
+    x = jnp.asarray(rng.randn(R, T, D).astype(np.float32))
+    fwd = init_lstm_params(jax.random.PRNGKey(8), D, H)
+    bwd = init_lstm_params(jax.random.PRNGKey(9), D, H)
+    args = (fwd.w_ih, fwd.b, fwd.w_hh, bwd.w_ih, bwd.b, bwd.w_hh)
+    f32 = lpt.appearance_bilstm_train(x, *args, block_r=4)
+    f16 = lpt.appearance_bilstm_train(x, *args, block_r=4, stream_dtype="bfloat16")
+    np.testing.assert_allclose(np.asarray(f16), np.asarray(f32), atol=3e-2)
+    g = jax.grad(lambda w: lpt.appearance_bilstm_train(
+        x, w, *args[1:], block_r=4, stream_dtype="bfloat16").sum())(fwd.w_ih)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
