@@ -104,12 +104,15 @@ def _fwd_kernel_m(
         # CANDIDATE activations as residuals: the backward replays the step
         # as pure arithmetic — no gates matmul, no transcendentals, and no
         # xproj re-read. Layout: [i f g o of lane k at k*4H | tc at 8H+k*H].
+        # stored at the inputs' stream precision (bf16 under the mixed-
+        # precision knob -> half the residual traffic; fp32 otherwise)
         a0 = k * 4 * hidden
-        act_ref[0, :, a0 : a0 + hidden] = i
-        act_ref[0, :, a0 + hidden : a0 + 2 * hidden] = f
-        act_ref[0, :, a0 + 2 * hidden : a0 + 3 * hidden] = g
-        act_ref[0, :, a0 + 3 * hidden : a0 + 4 * hidden] = o
-        act_ref[0, :, 8 * hidden + k * hidden : 8 * hidden + (k + 1) * hidden] = tc
+        adt = act_ref.dtype
+        act_ref[0, :, a0 : a0 + hidden] = i.astype(adt)
+        act_ref[0, :, a0 + hidden : a0 + 2 * hidden] = f.astype(adt)
+        act_ref[0, :, a0 + 2 * hidden : a0 + 3 * hidden] = g.astype(adt)
+        act_ref[0, :, a0 + 3 * hidden : a0 + 4 * hidden] = o.astype(adt)
+        act_ref[0, :, 8 * hidden + k * hidden : 8 * hidden + (k + 1) * hidden] = tc.astype(adt)
         if masked:
             h = m * h + (1.0 - m) * h_s[:]
             c = m * c + (1.0 - m) * c_s[:]
@@ -246,7 +249,7 @@ def _run_fwd_m(xf, xb, wf, wb, lens, block_r, masked, emit_outputs):
             outs_shape,
             jax.ShapeDtypeStruct((t_total, rp, 2 * hidden), jnp.float32),
             jax.ShapeDtypeStruct((t_total, rp, 2 * hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, rp, 10 * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, rp, 10 * hidden), xf.dtype),
         ],
         grid=(rp // block_r, t_total),
         in_specs=[x_spec, x_spec, len_spec, w_spec, w_spec],
