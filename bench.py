@@ -39,9 +39,10 @@ import numpy as np
 # qa/s (actual /root/reference code, single-core host) x 30 GPU uplift.
 REFERENCE_QA_PER_SEC = 592.0
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+_T_START = time.time()
 
 
-def _time_chained(fn, *args, steps, repeats=3):
+def _time_chained(fn, *args, steps, repeats=5):
     """Steady-state seconds/step via dependency-chained iterations.
 
     fn(*args, n) must run n chained iterations inside ONE jit and return a
@@ -243,7 +244,16 @@ def main():
     # numeric distance from the fp32 path as deployment evidence. The
     # headline metric stays fp32.
     bf16 = {}
-    if use_pallas and os.environ.get("BENCH_BF16", "1") == "1":
+    over_budget = time.time() - _T_START > float(
+        os.environ.get("BENCH_TIME_BUDGET", "420")
+    )
+    if over_budget:
+        # cold compile cache ate the wall clock: guarantee the headline
+        # metric still prints by skipping the secondary bf16 measurements
+        # (the persistent cache makes the next run fast and complete)
+        print("# bench: over time budget, skipping bf16 secondary metrics",
+              file=__import__("sys").stderr)
+    if use_pallas and not over_budget and os.environ.get("BENCH_BF16", "1") == "1":
         from dualvgr_tpu.ops import lstm_pallas
 
         prev_sd = lstm_pallas.STREAM_DTYPE

@@ -114,7 +114,9 @@ def bilstm_pallas(
     lengths=None,
     *,
     with_outputs: bool = False,
-    block_r: int = 256,
+    # 128-row blocks measured fastest at flagship shapes (1.73 vs 2.16 ms
+    # for the appearance recurrence at 256; 64 regresses to 2.50 ms)
+    block_r: int = 128,
     interpret: bool = False,
 ):
     """Fused BiLSTM recurrence.
@@ -196,7 +198,7 @@ def bilstm_pallas(
     return final, jnp.concatenate([out_f, out_b], axis=-1)
 
 
-def bilstm_final_pallas(xproj_f, xproj_b_rev, w_hh_f, w_hh_b, *, block_r: int = 256, interpret: bool = False):
+def bilstm_final_pallas(xproj_f, xproj_b_rev, w_hh_f, w_hh_b, *, block_r: int = 128, interpret: bool = False):
     """Back-compat wrapper: full-length final states only."""
     return bilstm_pallas(
         xproj_f, xproj_b_rev, w_hh_f, w_hh_b, None,
