@@ -6,18 +6,15 @@ full-length final-state-only; question encoders: variable-length masked,
 one with per-step outputs). One generalized kernel pair, exposed as a
 ``jax.custom_vjp`` so ``jax.grad`` through the model uses both kernels:
 
-* forward: grid-carried recurrence, additionally writing per-step
-  residuals: the PRE-step states (h_{t-1}, c_{t-1}) and the CANDIDATE
-  gate activations (i, f, g, o, tanh(c~)) in one packed 10H-wide tensor,
+* forward: grid-carried recurrence, additionally writing the PRE-step
+  states (h_{t-1}, c_{t-1}) per step as residuals (the backward recomputes
+  gate activations from them + the streamed xproj, instead of saving the
+  4H-wide gate tensor),
 * backward: reverse-time grid; carries (dh, dc) per direction in VMEM
-  scratch and REPLAYS each step from the saved activations — no gates
-  matmul, no transcendentals, and no xproj re-read (the projections are
-  not even residuals); the only MXU op left per step is dgates @ W_hh^T.
-  Measured on-chip: the replay backward runs ~2x faster than the
-  recompute form it replaced at flagship shapes. dW_hh is NOT
-  accumulated in-kernel — the two (H, 4H) VMEM accumulators would cap
-  the row-block size at 64 (16 MB scoped-VMEM budget), making the grid
-  latency-bound; the wrapper instead computes dW_hh = sum_t h_prev^T
+  scratch, recomputes gates, and emits per-step dxproj (= dgates) blocks.
+  dW_hh is NOT accumulated in-kernel — the two (H, 4H) VMEM accumulators
+  would cap the row-block size at 64 (16 MB scoped-VMEM budget), making the
+  grid latency-bound; instead the wrapper computes dW_hh = sum_t h_prev^T
   dgates as one MXU-shaped XLA matmul over the residuals + the dgates
   output, which lets the kernels run 128-row blocks.
 
@@ -64,7 +61,7 @@ def _sig(x):
 
 def _fwd_kernel_m(
     xf_ref, xb_ref, len_ref, whf_ref, whb_ref,
-    final_ref, outs_ref, hprev_ref, cprev_ref, act_ref,
+    final_ref, outs_ref, hprev_ref, cprev_ref,
     hf, cf, hb, cb,
     *, t_total, hidden, masked, emit_outputs,
 ):
@@ -96,23 +93,9 @@ def _fwd_kernel_m(
         gates = x_ref[0].astype(jnp.float32) + jnp.dot(
             h_s[:], w_ref[:], preferred_element_type=jnp.float32
         )
-        gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
-        i, f, g, o = _sig(gi), _sig(gf), jnp.tanh(gg), _sig(go)
-        c = f * c_s[:] + i * g  # candidate (pre-mask) cell state
-        tc = jnp.tanh(c)
-        h = o * tc
-        # CANDIDATE activations as residuals: the backward replays the step
-        # as pure arithmetic — no gates matmul, no transcendentals, and no
-        # xproj re-read. Layout: [i f g o of lane k at k*4H | tc at 8H+k*H].
-        # stored at the inputs' stream precision (bf16 under the mixed-
-        # precision knob -> half the residual traffic; fp32 otherwise)
-        a0 = k * 4 * hidden
-        adt = act_ref.dtype
-        act_ref[0, :, a0 : a0 + hidden] = i.astype(adt)
-        act_ref[0, :, a0 + hidden : a0 + 2 * hidden] = f.astype(adt)
-        act_ref[0, :, a0 + 2 * hidden : a0 + 3 * hidden] = g.astype(adt)
-        act_ref[0, :, a0 + 3 * hidden : a0 + 4 * hidden] = o.astype(adt)
-        act_ref[0, :, 8 * hidden + k * hidden : 8 * hidden + (k + 1) * hidden] = tc.astype(adt)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = _sig(f) * c_s[:] + _sig(i) * jnp.tanh(g)
+        h = _sig(o) * jnp.tanh(c)
         if masked:
             h = m * h + (1.0 - m) * h_s[:]
             c = m * c + (1.0 - m) * c_s[:]
@@ -130,20 +113,18 @@ def _fwd_kernel_m(
 
 
 def _bwd_kernel_m(
-    len_ref, whf_ref, whb_ref,
-    cprev_ref, act_ref, dfinal_ref, douts_ref,
+    xf_ref, xb_ref, len_ref, whf_ref, whb_ref,
+    hprev_ref, cprev_ref, dfinal_ref, douts_ref,
     dxf_ref, dxb_ref,
     dhf, dcf, dhb, dcb,
     *, t_total, hidden, masked, emit_outputs,
 ):
     # grid t runs 0..T-1; all t-indexed specs map to forward time T-1-t.
-    # The step is REPLAYED from the saved candidate activations (i,f,g,o,tc)
-    # — no gates matmul, no transcendentals, no xproj read; the only MXU op
-    # left is dgates @ W_hh^T. dW_hh is NOT accumulated in-kernel (the two
-    # (H, 4H) accumulators would cap the row-block size at 64 under the
-    # 16 MB scoped-VMEM budget); the wrapper computes dW_hh = sum_t
-    # h_prev^T dgates as ONE big XLA matmul from the hprev residuals and
-    # the dgates (dx) output this kernel materializes.
+    # Unlike the final-only pair, dW_hh is NOT accumulated here: the two
+    # (H, 4H) accumulators would put the backward kernel over the 16 MB
+    # scoped-VMEM budget at useful block sizes; the wrapper instead computes
+    # dW_hh = sum_t h_prev^T dgates as ONE big XLA matmul from the hprev
+    # residuals and the dgates (dx) output this kernel already materializes.
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -161,22 +142,22 @@ def _bwd_kernel_m(
     else:
         m_f = m_b = None
 
-    for k, (w_ref, dh_s, dc_s, dx_ref, m) in enumerate(
+    for k, (x_ref, w_ref, dh_s, dc_s, dx_ref, m) in enumerate(
         (
-            (whf_ref, dhf, dcf, dxf_ref, m_f),
-            (whb_ref, dhb, dcb, dxb_ref, m_b),
+            (xf_ref, whf_ref, dhf, dcf, dxf_ref, m_f),
+            (xb_ref, whb_ref, dhb, dcb, dxb_ref, m_b),
         )
     ):
         off = k * hidden
+        h_prev = hprev_ref[0, :, off : off + hidden]
         c_prev = cprev_ref[0, :, off : off + hidden]
-        a0 = k * 4 * hidden
-        i = act_ref[0, :, a0 : a0 + hidden].astype(jnp.float32)
-        f = act_ref[0, :, a0 + hidden : a0 + 2 * hidden].astype(jnp.float32)
-        g = act_ref[0, :, a0 + 2 * hidden : a0 + 3 * hidden].astype(jnp.float32)
-        o = act_ref[0, :, a0 + 3 * hidden : a0 + 4 * hidden].astype(jnp.float32)
-        tc = act_ref[
-            0, :, 8 * hidden + k * hidden : 8 * hidden + (k + 1) * hidden
-        ].astype(jnp.float32)
+        gates = x_ref[0].astype(jnp.float32) + jnp.dot(
+            h_prev, w_ref[:], preferred_element_type=jnp.float32
+        )
+        gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+        i, f, g, o = _sig(gi), _sig(gf), jnp.tanh(gg), _sig(go)
+        c = f * c_prev + i * g
+        tc = jnp.tanh(c)
 
         if emit_outputs:
             dout = douts_ref[0, :, off : off + hidden].astype(jnp.float32)
@@ -239,9 +220,6 @@ def _run_fwd_m(xf, xb, wf, wb, lens, block_r, masked, emit_outputs):
         outs_spec = pl.BlockSpec(
             (1, block_r, 2 * hidden), lambda rb, t: (0, 0, 0), memory_space=pltpu.VMEM
         )
-    act_spec = pl.BlockSpec(
-        (1, block_r, 10 * hidden), lambda rb, t: (t, rb, 0), memory_space=pltpu.VMEM
-    )
     return pl.pallas_call(
         kernel,
         out_shape=[
@@ -249,23 +227,21 @@ def _run_fwd_m(xf, xb, wf, wb, lens, block_r, masked, emit_outputs):
             outs_shape,
             jax.ShapeDtypeStruct((t_total, rp, 2 * hidden), jnp.float32),
             jax.ShapeDtypeStruct((t_total, rp, 2 * hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, rp, 10 * hidden), xf.dtype),
         ],
         grid=(rp // block_r, t_total),
         in_specs=[x_spec, x_spec, len_spec, w_spec, w_spec],
-        out_specs=[final_spec, outs_spec, res_spec, res_spec, act_spec],
+        out_specs=[final_spec, outs_spec, res_spec, res_spec],
         scratch_shapes=[pltpu.VMEM((block_r, hidden), jnp.float32)] * 4,
         interpret=INTERPRET,
     )(xf, xb, lens, wf, wb)
 
 
 def _run_bwd_m(
-    wf, wb, lens, hprev, cprev, acts, dfinal, douts, block_r, masked,
+    xf, xb, wf, wb, lens, hprev, cprev, dfinal, douts, block_r, masked,
     emit_outputs,
 ):
-    t_total, rp, _ = acts.shape
-    hidden = wf.shape[0]
-    g = 4 * hidden
+    t_total, rp, g = xf.shape
+    hidden = g // 4
     n_rb = rp // block_r
     kernel = functools.partial(
         _bwd_kernel_m, t_total=t_total, hidden=hidden, masked=masked,
@@ -274,7 +250,6 @@ def _run_bwd_m(
     rev = lambda rb, t: (t_total - 1 - t, rb, 0)
     x_spec_r = pl.BlockSpec((1, block_r, g), rev, memory_space=pltpu.VMEM)
     res_spec_r = pl.BlockSpec((1, block_r, 2 * hidden), rev, memory_space=pltpu.VMEM)
-    act_spec_r = pl.BlockSpec((1, block_r, 10 * hidden), rev, memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec((block_r, 1), lambda rb, t: (rb, 0), memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((hidden, g), lambda rb, t: (0, 0), memory_space=pltpu.VMEM)
     final_spec = pl.BlockSpec((block_r, 2 * hidden), lambda rb, t: (rb, 0), memory_space=pltpu.VMEM)
@@ -289,13 +264,13 @@ def _run_bwd_m(
         ],
         grid=(n_rb, t_total),
         in_specs=[
-            len_spec, w_spec, w_spec,
-            res_spec_r, act_spec_r, final_spec, douts_spec,
+            x_spec_r, x_spec_r, len_spec, w_spec, w_spec,
+            res_spec_r, res_spec_r, final_spec, douts_spec,
         ],
         out_specs=[x_spec_r, x_spec_r],
         scratch_shapes=[pltpu.VMEM((block_r, hidden), jnp.float32)] * 4,
         interpret=INTERPRET,
-    )(lens, wf, wb, cprev, acts, dfinal, douts)
+    )(xf, xb, lens, wf, wb, hprev, cprev, dfinal, douts)
     # dW_hh = sum over (t, rows) of h_prev^T dgates — one MXU-shaped matmul
     # per direction over the residuals + the kernel's dgates output
     dwf = jnp.einsum("trh,trg->hg", hprev[..., :hidden], dxf)
@@ -307,26 +282,24 @@ def _run_bwd_m(
 def _bilstm_outs_core(
     xf, xb, wf, wb, lens, block_r: int, masked: bool, emit_outputs: bool
 ):
-    final, outs, _, _, _ = _run_fwd_m(
+    final, outs, _, _ = _run_fwd_m(
         xf, xb, wf, wb, lens, block_r, masked, emit_outputs
     )
     return final, outs
 
 
 def _outs_vjp_fwd(xf, xb, wf, wb, lens, block_r, masked, emit_outputs):
-    final, outs, hprev, cprev, acts = _run_fwd_m(
+    final, outs, hprev, cprev = _run_fwd_m(
         xf, xb, wf, wb, lens, block_r, masked, emit_outputs
     )
-    # xf/xb are NOT residuals: the backward replays steps from the saved
-    # candidate activations, never re-reading the projections
-    return (final, outs), (wf, wb, lens, hprev, cprev, acts)
+    return (final, outs), (xf, xb, wf, wb, lens, hprev, cprev)
 
 
 def _outs_vjp_bwd(block_r, masked, emit_outputs, res, cot):
-    wf, wb, lens, hprev, cprev, acts = res
+    xf, xb, wf, wb, lens, hprev, cprev = res
     dfinal, douts = cot
     dxf, dxb, dwf, dwb = _run_bwd_m(
-        wf, wb, lens, hprev, cprev, acts, dfinal, douts, block_r, masked,
+        xf, xb, wf, wb, lens, hprev, cprev, dfinal, douts, block_r, masked,
         emit_outputs,
     )
     return dxf, dxb, dwf, dwb, jnp.zeros_like(lens)
@@ -437,10 +410,10 @@ def _app_fwd(x, wih_f, b_f, whh_f, wih_b, b_b, whh_b, block_r, sd):
         xf = jnp.pad(xf, padding)
         xb = jnp.pad(xb, padding)
     lens = jnp.zeros((xf.shape[1], 1), jnp.float32)
-    final, _, hprev, cprev, acts = _run_fwd_m(
+    final, _, hprev, cprev = _run_fwd_m(
         xf, xb, whh_f, whh_b, lens, block_r, False, False
     )
-    return final[:r], (x, whh_f, whh_b, hprev, cprev, acts, lens)
+    return final[:r], (x, xf, xb, whh_f, whh_b, hprev, cprev, lens)
 
 
 def _app_vjp_fwd(x, wih_f, b_f, whh_f, wih_b, b_b, whh_b, block_r, sd):
@@ -449,15 +422,15 @@ def _app_vjp_fwd(x, wih_f, b_f, whh_f, wih_b, b_b, whh_b, block_r, sd):
 
 
 def _app_vjp_bwd(block_r, sd, res, dfinal):
-    x, whh_f, whh_b, hprev, cprev, acts, lens = res
+    x, xf, xb, whh_f, whh_b, hprev, cprev, lens = res
     r = x.shape[0]
-    rp = acts.shape[1]
+    rp = xf.shape[1]
     block_r = min(block_r, rp)
     if rp > r:
         dfinal = jnp.pad(dfinal, ((0, rp - r), (0, 0)))
     douts = jnp.zeros((1, block_r, dfinal.shape[1]), jnp.float32)
     dxf, dxb, dwhf, dwhb = _run_bwd_m(
-        whh_f, whh_b, lens, hprev, cprev, acts, dfinal, douts,
+        xf, xb, whh_f, whh_b, lens, hprev, cprev, dfinal, douts,
         block_r, False, False,
     )
     dxf, dxb = dxf[:, :r], dxb[:, :r]
