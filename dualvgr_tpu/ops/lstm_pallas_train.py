@@ -176,26 +176,26 @@ def _bwd_kernel_m(
             dc_prev_direct = jnp.zeros_like(dh)
 
         dc = dc_in + dh * o * (1.0 - tc * tc)
-        do = dh * tc
-        di = dc * g
-        df = dc * c_prev
-        dg = dc * i
 
-        dgates = jnp.concatenate(
-            [
-                di * i * (1.0 - i),
-                df * f * (1.0 - f),
-                dg * (1.0 - g * g),
-                do * o * (1.0 - o),
-            ],
-            axis=-1,
-        )  # (rows, 4H)
-        dx_ref[0] = dgates.astype(dx_ref.dtype)
-        dh_s[:] = dh_prev_direct + jax.lax.dot_general(
-            dgates, w_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # per-gate chunks written straight into the output ref (no (rows, 4H)
+        # concat temp) and contracted chunk-by-chunk against W_hh's matching
+        # row-block: same FLOPs as dgates @ W_hh^T, smaller live tensors
+        dh_prev = dh_prev_direct
+        for j, dgate in enumerate(
+            (
+                dc * g * i * (1.0 - i),
+                dc * c_prev * f * (1.0 - f),
+                dc * i * (1.0 - g * g),
+                dh * tc * o * (1.0 - o),
+            )
+        ):
+            dx_ref[0, :, j * hidden : (j + 1) * hidden] = dgate.astype(dx_ref.dtype)
+            dh_prev = dh_prev + jax.lax.dot_general(
+                dgate, w_ref[:, j * hidden : (j + 1) * hidden],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dh_s[:] = dh_prev
         dc_s[:] = dc_prev_direct + dc * f
 
 
