@@ -68,7 +68,10 @@ class DualVGROutput(NamedTuple):
 class DualVGRUnitStack(nn.Module):
     """Stacked DualVGR reasoning units (reference models.py:86-173).
 
-    With ``use_pallas`` (inference path only) the per-cycle graph reasoning
+    With ``use_pallas`` the per-cycle graph reasoning (inference path; the
+    training path keeps XLA autodiff for the graph cycle — its dropout
+    sites and small N make autodiff competitive there, while the BiLSTM
+    recurrences train through custom-VJP Pallas kernel pairs)
     — common GAT + specific GAT + 2-way fusion + residual — runs as ONE
     fused Pallas kernel per stream (dualvgr_tpu/ops/gat_pallas.py), sharing
     the exact same parameters as the XLA composition. The kernel also emits
