@@ -67,6 +67,12 @@ def _time_chained(fn, *args, steps, repeats=5):
     return best
 
 
+def _stage(msg):
+    import sys
+
+    print(f"# bench +{time.time() - _T_START:.0f}s {msg}", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -115,8 +121,13 @@ def main():
         use_pallas=False, **shape_kw,
     )
     rng = np.random.RandomState(0)
-    app = rng.randn(batch, 16, 16, 2048).astype(np.float32)
-    mot = rng.randn(batch, 16, 2048).astype(np.float32)
+    # big feature tensors are generated ON DEVICE: uploading the 0.5 GB
+    # appearance batch through a tunneled host->device path costs ~100 s
+    # per run and measures nothing (real serving streams from the loader's
+    # prefetch pipeline). Question/label arrays are tiny and stay host-side.
+    kapp, kmot = jax.random.split(jax.random.PRNGKey(0))
+    app = jax.random.normal(kapp, (batch, 16, 16, 2048), jnp.float32)
+    mot = jax.random.normal(kmot, (batch, 16, 2048), jnp.float32)
     q = rng.randint(1, vocab_size, (batch, t)).astype(np.int32)
     qlen = rng.randint(4, t + 1, (batch,)).astype(np.int32)
     for i in range(batch):
@@ -131,6 +142,7 @@ def main():
     state = train_lib.create_train_state(
         model, root_key, (app[:1], mot[:1], q[:1], qlen[:1]), opt
     )
+    _stage("state init done")
     mesh = data_mesh()
     n_chips = mesh.size
     state = replicate(state, mesh)
@@ -196,6 +208,7 @@ def main():
             f"grad norm {gn_p} vs {gn_x} (rel {rel_g:.2e})"
         )
         gates["train_grads"] = f"ok rel_loss={rel_l:.2e} rel_gnorm={rel_g:.2e}"
+        _stage("gates done")
 
     # ---- eval timing: dependency-chained iterations inside one jit ----
     # The chain must feed EVERY independent input path of the model, or XLA
@@ -237,6 +250,7 @@ def main():
 
     eval_per_step = _time_chained(chained_eval, variables, inputs, steps=steps)
     eval_qa_per_sec_chip = batch / eval_per_step / n_chips
+    _stage("eval timing done")
 
     # ---- secondary: bf16-stream eval (cfg.tpu.compute_dtype=bfloat16) ----
     # Measures the mixed-precision serving path (bf16 input-projection
@@ -342,6 +356,7 @@ def main():
 
     train_per_step = _time_chained(chained_train, state, train_batch, steps=train_steps)
     train_qa_per_sec_chip = batch / train_per_step / n_chips
+    _stage("train timing done")
 
     # ---- MFU from analytic matmul FLOPs ----
     fkw = dict(
