@@ -55,6 +55,7 @@ def test_lstm_unroll_honors_stream_dtype(rng, restore_stream_dtype):
     assert float(jnp.abs(g.w_ih).sum()) > 0
 
 
+@pytest.mark.slow  # two full-model compiles (~50 s) — parity tier
 def test_full_model_logits_close_under_bf16_stream(rng, restore_stream_dtype):
     import jax
 
