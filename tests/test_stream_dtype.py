@@ -86,3 +86,18 @@ def test_full_model_logits_close_under_bf16_stream(rng, restore_stream_dtype):
     assert (
         np.asarray(jnp.argmax(bf, -1)) == np.asarray(jnp.argmax(ref, -1))
     ).all()
+
+
+def test_apply_tpu_config_routes_compute_dtype(restore_stream_dtype):
+    """cfg.tpu.compute_dtype -> the kernels' global stream dtype (the wiring
+    all three CLI drivers call: train.py:249, validate.py:49, predict.py:66)."""
+    from dualvgr_tpu import train_lib
+    from dualvgr_tpu.config import default_config
+
+    cfg = default_config()
+    train_lib.apply_tpu_config(cfg)
+    assert lstm_pallas.STREAM_DTYPE is None  # float32 default = no streaming
+
+    cfg.tpu.compute_dtype = "bfloat16"
+    train_lib.apply_tpu_config(cfg)
+    assert lstm_pallas.STREAM_DTYPE == "bfloat16"
