@@ -104,8 +104,12 @@ def default_config() -> Config:
             "feature_cache_gb": 8.0,
             # host->device prefetch depth (batches in flight).
             "prefetch": 2,
-            # use the fused Pallas DualVGR-cycle kernel when on TPU.
-            "use_pallas": False,
+            # fused Pallas DualVGR-cycle / BiLSTM kernels: "auto" (default)
+            # enables them exactly when running on TPU, so the flagship CLI
+            # (`train.py --cfg configs/msrvtt_qa_DualVGR_16.yml`) delivers
+            # the benched kernel-path numbers with no hand-editing; YAMLs
+            # may force true/false (resolved_use_pallas).
+            "use_pallas": "auto",
             # fetch metrics / refresh the ticker every N steps (each fetch is
             # a device->host sync; 1 matches the reference's per-step ticker).
             "log_every": 1,
@@ -140,6 +144,8 @@ def _merge_into(yaml_cfg: dict, cfg: Config, path: str = "") -> None:
                 v = float(v)
             elif isinstance(old, bool) and isinstance(v, int) and v in (0, 1):
                 v = bool(v)
+            elif kpath == "tpu.use_pallas" and isinstance(v, bool):
+                pass  # "auto" default may be overridden by an explicit bool
             else:
                 raise ValueError(
                     f"type mismatch for {kpath}: config has {type(old).__name__}, "
@@ -160,6 +166,28 @@ def cfg_from_file(filename: str, cfg: Config | None = None) -> Config:
     if yaml_cfg:
         _merge_into(yaml_cfg, base)
     return base
+
+
+def resolved_use_pallas(cfg: Config) -> bool:
+    """Resolve cfg.tpu.use_pallas: explicit bool wins; "auto" = on iff the
+    ambient backend is TPU (the kernels are TPU-only; CPU/virtual-mesh runs
+    take the XLA path)."""
+    v = cfg.tpu.use_pallas
+    if isinstance(v, bool):
+        return v
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def model_runtime_kwargs(cfg: Config) -> dict:
+    """The cfg.tpu knobs that are DualVGR constructor args (static module
+    attributes, so jit caches key on them): use_pallas + compute_dtype.
+    All three CLI drivers build their model with these."""
+    return {
+        "use_pallas": resolved_use_pallas(cfg),
+        "compute_dtype": cfg.tpu.compute_dtype,
+    }
 
 
 def resolve_dataset_paths(cfg: Config) -> Config:

@@ -26,9 +26,19 @@ import numpy as np
 class FeatureStore:
     """One HDF5 feature file: id -> row lookups + batched row gathers."""
 
-    def __init__(self, path: str, dataset_name: str, cache_gb: float = 8.0):
+    def __init__(
+        self,
+        path: str,
+        dataset_name: str,
+        cache_gb: float = 8.0,
+        n_threads: int | None = None,
+    ):
         self.path = path
         self.dataset_name = dataset_name
+        # gather parallelism for the native threaded row copy; None = auto
+        # (min(cpus, 8)). The loader maps the reference's ``num_workers``
+        # here (reference DataLoader.py:165 forked torch workers).
+        self.n_threads = n_threads
         self._lock = threading.Lock()
         with h5py.File(path, "r") as f:
             ids = f["ids"][()]
@@ -60,7 +70,7 @@ class FeatureStore:
         if self._cache is not None:
             from dualvgr_tpu.data import native
 
-            out = native.gather_rows(self._cache, rows)
+            out = native.gather_rows(self._cache, rows, n_threads=self.n_threads)
             return out if out is not None else self._cache[rows]
         uniq, inverse = np.unique(rows, return_inverse=True)
         with self._lock:

@@ -90,15 +90,18 @@ class ContextSelfAttn(nn.Module):
     """Clip aggregation attention (reference model/AnswerDecoder.py:155-182)."""
 
     module_dim: int = 768
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, visual_feat, *, train: bool):
         """visual_feat: (B, N, module_dim) -> (B, module_dim)."""
+        from dualvgr_tpu.ops.precision import SDense, stream_dtype_of
+
         visual_feat = nn.Dropout(0.15, deterministic=not train)(visual_feat)
-        v = nn.Dense(
+        v = SDense(
             self.module_dim,
             use_bias=False,
-            kernel_init=nn.initializers.xavier_uniform(),
+            stream=stream_dtype_of(self.compute_dtype),
             name="v_proj",
         )(visual_feat)
         v = nn.elu(v)

@@ -62,29 +62,23 @@ class OutputUnitOpenEnded(nn.Module):
 
     module_dim: int = 768
     num_answers: int = 1000
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, question_embedding, visual_embedding, valid=None, *, train: bool):
-        q = nn.Dense(
-            self.module_dim,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="question_proj",
-        )(question_embedding)
+        from dualvgr_tpu.ops.precision import SDense, stream_dtype_of
+
+        sd = stream_dtype_of(self.compute_dtype)
+        q = SDense(self.module_dim, stream=sd, name="question_proj")(
+            question_embedding
+        )
         out = jnp.concatenate([visual_embedding, q], axis=1)
         out = nn.Dropout(0.15, deterministic=not train)(out)
-        out = nn.Dense(
-            self.module_dim,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="fc1",
-        )(out)
+        out = SDense(self.module_dim, stream=sd, name="fc1")(out)
         out = nn.elu(out)
         out = MaskedBatchNorm(name="bn")(out, valid, train=train)
         out = nn.Dropout(0.15, deterministic=not train)(out)
-        return nn.Dense(
-            self.num_answers,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="classifier",
-        )(out)
+        return SDense(self.num_answers, stream=sd, name="classifier")(out)
 
 
 class ConcatELUAttn(nn.Module):

@@ -87,9 +87,11 @@ class DualVGRUnitStack(nn.Module):
     unit_layers: int = 2
     use_pallas: bool = False
     graph_module: str = "GAT"  # 'GAT' (reference-live) or 'GCN' (fixed, see PunishGCN)
+    compute_dtype: str = "float32"
 
     def setup(self):
         d = self.module_dim
+        cd = self.compute_dtype
         u, g = self.unit_layers, self.graph_layers
         self.query_attns = [QueryAttn(d, name=f"query_attn_{i}") for i in range(u)]
         self.punish_appear = [
@@ -99,7 +101,9 @@ class DualVGRUnitStack(nn.Module):
             QueryPunish(d, name=f"query_punish_motion_{i}") for i in range(u)
         ]
         if self.graph_module == "GAT":
-            mk_gat = lambda name: PunishGAT(4, d // 4, in_dim=d, name=name)
+            mk_gat = lambda name: PunishGAT(
+                4, d // 4, in_dim=d, compute_dtype=cd, name=name
+            )
         elif self.graph_module == "GCN":
             mk_gat = lambda name: PunishGCN(d, name=name)
         else:
@@ -109,12 +113,18 @@ class DualVGRUnitStack(nn.Module):
         self.mc_gats = [mk_gat(f"mc_gat_{k}") for k in range(u * g)]
         self.motion_gats = [mk_gat(f"motion_gat_{k}") for k in range(u * g)]
         self.attention_appearance = [
-            AttentionSFGCN(d, in_dim=d, name=f"attention_appearance_{i}") for i in range(u)
+            AttentionSFGCN(
+                d, in_dim=d, compute_dtype=cd, name=f"attention_appearance_{i}"
+            )
+            for i in range(u)
         ]
         self.attention_motion = [
-            AttentionSFGCN(d, in_dim=d, name=f"attention_motion_{i}") for i in range(u)
+            AttentionSFGCN(
+                d, in_dim=d, compute_dtype=cd, name=f"attention_motion_{i}"
+            )
+            for i in range(u)
         ]
-        self.visual_fusion = MFB(d, name="visual_fusion")
+        self.visual_fusion = MFB(d, compute_dtype=cd, name="visual_fusion")
 
     def _fused_cycle(self, h, scores, gat_c, gat_s, sfgcn):
         """One stream's cycle through the fused Pallas kernel."""
@@ -236,6 +246,9 @@ class DualVGR(nn.Module):
     # run the fused Pallas graph-reasoning cycle on the inference path
     use_pallas: bool = False
     graph_module: str = "GAT"
+    # mixed-precision knob (cfg.tpu.compute_dtype): static module attribute,
+    # so jit functions closing over the model re-key their caches on it
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -258,15 +271,19 @@ class DualVGR(nn.Module):
             self.word_dim,
             self.module_dim,
             self.use_pallas,
+            self.compute_dtype,
             name="linguistic_input_unit",
         )(question, question_len, train=train)
 
         app = AppearanceEncoder(
-            self.module_dim, self.use_pallas, name="visual_appearance_input_unit"
+            self.module_dim,
+            self.use_pallas,
+            self.compute_dtype,
+            name="visual_appearance_input_unit",
         )(video_appearance_feat, train=train)
-        motion = MotionEncoder(self.module_dim, name="visual_motion_input_unit")(
-            video_motion_feat
-        )
+        motion = MotionEncoder(
+            self.module_dim, self.compute_dtype, name="visual_motion_input_unit"
+        )(video_motion_feat)
 
         visual, aq_embed, mq_embed, com_app, com_motion, aq_f, mq_f = (
             DualVGRUnitStack(
@@ -277,15 +294,19 @@ class DualVGR(nn.Module):
                 self.unit_layers,
                 self.use_pallas,
                 self.graph_module,
+                self.compute_dtype,
                 name="visual_input_unit",
             )(app, motion, dynamic, words, question_len, train=train)
         )
 
-        visual = ContextSelfAttn(self.module_dim, name="feature_aggregation")(
-            visual, train=train
-        )
+        visual = ContextSelfAttn(
+            self.module_dim, self.compute_dtype, name="feature_aggregation"
+        )(visual, train=train)
         logits = OutputUnitOpenEnded(
-            self.module_dim, self.num_answers, name="output_unit"
+            self.module_dim,
+            self.num_answers,
+            self.compute_dtype,
+            name="output_unit",
         )(question_embedding, visual, valid, train=train)
 
         return DualVGROutput(

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from dualvgr_tpu.ops.lstm import LSTMParams, _xavier_uniform_torch_shape, bilstm
+from dualvgr_tpu.ops.precision import stream_dtype_of
 
 
 class BiLSTM(nn.Module):
@@ -33,14 +34,28 @@ class BiLSTM(nn.Module):
     through the fused Pallas kernel (dualvgr_tpu/ops/lstm_pallas.py): the
     MXU-peak input projection stays in XLA, the 2*T sequential recurrent
     matmuls + gate transcendentals fuse into one kernel.
+
+    ``compute_dtype`` is the explicit mixed-precision knob (see
+    dualvgr_tpu/ops/precision.py): a static module attribute, so jit caches
+    key on it and changing cfg.tpu.compute_dtype can never reuse a
+    stale-dtype executable.
     """
 
     hidden: int  # per-direction hidden size
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, lengths=None, *, fused: str | None = None):
         """fused: None (XLA scan), 'final' (Pallas kernel, final states only)
-        or 'outputs' (Pallas kernel, per-step outputs + final states)."""
+        or 'outputs' (Pallas kernel, per-step outputs + final states).
+
+        CONTRACT for 'final_trainable': the whole-layer custom-VJP op drops
+        dL/dx BY DESIGN (dualvgr_tpu/ops/lstm_pallas_train.py
+        appearance_bilstm_train stop-gradients its input) — valid only when
+        nothing trainable sits upstream of x, as in AppearanceEncoder where
+        x is dropout(tanh(raw features)). Callers with trainable upstream
+        layers must use 'trainable'/'trainable_final' instead.
+        """
         d = x.shape[-1]
         h = self.hidden
 
@@ -60,6 +75,7 @@ class BiLSTM(nn.Module):
             return LSTMParams(w_ih, w_hh, b_ih, b_hh)
 
         fwd, bwd = make("fwd"), make("bwd")
+        sd = stream_dtype_of(self.compute_dtype)
         if fused is not None and not self.is_initializing():
             from dualvgr_tpu.ops import lstm_pallas
             from dualvgr_tpu.ops.lstm import time_major_input_proj
@@ -70,7 +86,6 @@ class BiLSTM(nn.Module):
             # flagship shapes — measured in benchmarks/eval_breakdown.py).
             # Under a stream dtype the matmul also consumes bf16 operands
             # with fp32 accumulation (see time_major_input_proj).
-            sd = lstm_pallas.STREAM_DTYPE
             if fused == "final_trainable":
                 # whole-layer custom-VJP op (projection + recurrence): skips
                 # the never-needed dX matmul and, under a stream dtype, runs
@@ -102,9 +117,9 @@ class BiLSTM(nn.Module):
                     with_outputs=(fused == "trainable"),
                 )
                 return outs, final
-            if lstm_pallas.STREAM_DTYPE is not None:
-                xf = xf.astype(lstm_pallas.STREAM_DTYPE)
-                xb = xb.astype(lstm_pallas.STREAM_DTYPE)
+            if sd is not None:
+                xf = xf.astype(sd)
+                xb = xb.astype(sd)
             if fused == "outputs":
                 final, outs = lstm_pallas.bilstm_pallas(
                     xf, xb, fwd.w_hh, bwd.w_hh, lengths, with_outputs=True
@@ -114,7 +129,7 @@ class BiLSTM(nn.Module):
                 xf, xb, fwd.w_hh, bwd.w_hh, lengths, with_outputs=False
             )
             return None, final.astype(x.dtype)
-        return bilstm(fwd, bwd, x, lengths)
+        return bilstm(fwd, bwd, x, lengths, stream_dtype=sd)
 
 
 class QuestionEncoder(nn.Module):
@@ -124,6 +139,7 @@ class QuestionEncoder(nn.Module):
     word_dim: int = 300
     module_dim: int = 768
     use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, question, question_len, *, train: bool):
@@ -155,11 +171,11 @@ class QuestionEncoder(nn.Module):
         else:
             mode_outputs = mode_final = None
         # (a) per-token outputs == DynamicRNN(words, len) (Preprocessing.py:117)
-        dynamic, _ = BiLSTM(rnn_dim, name="concat_rnn")(
+        dynamic, _ = BiLSTM(rnn_dim, self.compute_dtype, name="concat_rnn")(
             words, question_len, fused=mode_outputs
         )
         # (b) final-state sentence embedding (Preprocessing.py:119-124)
-        _, final = BiLSTM(rnn_dim, name="encoder")(
+        _, final = BiLSTM(rnn_dim, self.compute_dtype, name="encoder")(
             words, question_len, fused=mode_final
         )
         question_embedding = nn.Dropout(0.18, deterministic=not train)(final)
@@ -171,6 +187,7 @@ class AppearanceEncoder(nn.Module):
 
     module_dim: int = 768
     use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, clips, *, train: bool):
@@ -182,11 +199,15 @@ class AppearanceEncoder(nn.Module):
         x = x.reshape(b * c, f, d)
         if self.use_pallas:
             # eval: inference kernel (optionally bf16-streamed);
-            # train: custom-VJP kernel pair (fused fwd + bwd recurrence)
+            # train: custom-VJP kernel pair (fused fwd + bwd recurrence).
+            # 'final_trainable' drops dL/dx by design — safe here because
+            # x is dropout(tanh(raw features)): nothing trainable upstream.
             mode = "final" if not train else "final_trainable"
         else:
             mode = None
-        _, final = BiLSTM(self.module_dim // 2, name="encoder")(x, fused=mode)
+        _, final = BiLSTM(self.module_dim // 2, self.compute_dtype, name="encoder")(
+            x, fused=mode
+        )
         final = nn.Dropout(0.18, deterministic=not train)(final)
         return final.reshape(b, c, self.module_dim)
 
@@ -272,11 +293,14 @@ class MotionEncoder(nn.Module):
     """Linear 2048 -> module_dim (reference models.py:46,74)."""
 
     module_dim: int = 768
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, motion_feat):
-        return nn.Dense(
+        from dualvgr_tpu.ops.precision import SDense, stream_dtype_of
+
+        return SDense(
             self.module_dim,
-            kernel_init=nn.initializers.xavier_uniform(),
+            stream=stream_dtype_of(self.compute_dtype),
             name="proj",
         )(motion_feat)

@@ -13,6 +13,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from dualvgr_tpu.ops.precision import SDense, stream_dtype_of
+
 
 class MFB(nn.Module):
     """Multimodal Factorized Bilinear pooling."""
@@ -20,25 +22,15 @@ class MFB(nn.Module):
     output_dim: int = 768
     mm_dim: int = 256
     factor: int = 2
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x0, x1):
         """x0, x1: (..., D) -> (..., output_dim)."""
-        z0 = nn.Dense(
-            self.mm_dim * self.factor,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="linear0",
-        )(x0)
-        z1 = nn.Dense(
-            self.mm_dim * self.factor,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="linear1",
-        )(x1)
+        sd = stream_dtype_of(self.compute_dtype)
+        z0 = SDense(self.mm_dim * self.factor, stream=sd, name="linear0")(x0)
+        z1 = SDense(self.mm_dim * self.factor, stream=sd, name="linear1")(x1)
         z = nn.elu(z0) * nn.elu(z1)
         z = z.reshape(z.shape[:-1] + (self.mm_dim, self.factor)).sum(-1)
-        z = nn.Dense(
-            self.output_dim,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="linear_out",
-        )(z)
+        z = SDense(self.output_dim, stream=sd, name="linear_out")(z)
         return nn.elu(z)

@@ -45,6 +45,7 @@ class PunishGAT(nn.Module):
     in_dim: int = 768
     dropout: float = 0.15
     alpha: float = 0.01  # LeakyReLU negative slope
+    compute_dtype: str = "float32"
 
     def setup(self):
         nh, hd = self.n_heads, self.head_dim
@@ -70,8 +71,13 @@ class PunishGAT(nn.Module):
 
         x = self.drop(h, deterministic=not train)
 
-        # all heads in one (D, H*hd) matmul; per-head bias like nn.Linear
-        wh = jnp.einsum("bnd,dho->bnho", x, w_kernel) + w_bias  # (B, N, H, hd)
+        # all heads in one (D, H*hd) matmul; per-head bias like nn.Linear;
+        # bf16 operand streaming under compute_dtype (fp32 accumulate)
+        from dualvgr_tpu.ops.precision import stream_dtype_of, streamed_matmul
+
+        sd = stream_dtype_of(self.compute_dtype)
+        wh = streamed_matmul(x, w_kernel.reshape(d, nh * hd), sd)
+        wh = wh.reshape(b, n, nh, hd) + w_bias  # (B, N, H, hd)
 
         # additive attention: a([Wh_i || Wh_j]) = src_i + dst_j + b_a
         a_src, a_dst = a[:, :hd], a[:, hd:]
@@ -102,6 +108,7 @@ class AttentionSFGCN(nn.Module):
 
     hidden: int = 768
     in_dim: int = 768
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.proj_kernel = self.param(
@@ -114,7 +121,10 @@ class AttentionSFGCN(nn.Module):
 
     def __call__(self, z):
         """z: (B, K, N, D) -> ((B, N, D), beta (B, K, N, 1))."""
-        w = jnp.tanh(z @ self.proj_kernel + self.proj_bias)
+        from dualvgr_tpu.ops.precision import stream_dtype_of, streamed_matmul
+
+        sd = stream_dtype_of(self.compute_dtype)
+        w = jnp.tanh(streamed_matmul(z, self.proj_kernel, sd) + self.proj_bias)
         w = w @ self.score_kernel
         beta = jax.nn.softmax(w, axis=1)
         return (beta * z).sum(axis=1), beta

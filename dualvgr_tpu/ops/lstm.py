@@ -140,20 +140,24 @@ def _scan_direction(params: LSTMParams, xproj, mask, reverse: bool):
     return outs, h_final
 
 
-def lstm_unroll(params: LSTMParams, x, lengths=None, *, reverse: bool = False):
+def lstm_unroll(
+    params: LSTMParams, x, lengths=None, *, reverse: bool = False,
+    stream_dtype: str | None = None,
+):
     """Single-direction masked LSTM.
 
     x: (B, T, D); lengths: (B,) int or None (None => all steps valid).
+    ``stream_dtype`` (explicit, threaded from the model's ``compute_dtype``
+    attribute so jit caches key on it) makes the input projection consume
+    reduced-precision operands — see dualvgr_tpu/ops/precision.py.
     Returns (outputs (B, T, H), final_h (B, H)).
     """
     bsz, t, _ = x.shape
     # one fused projection matmul over all timesteps (see
-    # time_major_input_proj); honors the global stream dtype so the XLA path
+    # time_major_input_proj); honors the stream dtype so the XLA path
     # and the fused Pallas path share identical input-projection numerics
     # (the bench's on-device equivalence gate stays tight under bf16).
-    from dualvgr_tpu.ops import lstm_pallas
-
-    sd = lstm_pallas.STREAM_DTYPE
+    sd = stream_dtype
     xproj = time_major_input_proj(x, params, sd)
     if sd is not None:
         # round-trip through the stream dtype: the fused Pallas path streams
@@ -170,7 +174,7 @@ def lstm_unroll(params: LSTMParams, x, lengths=None, *, reverse: bool = False):
     return outs.transpose(1, 0, 2), h
 
 
-def bilstm(fwd: LSTMParams, bwd: LSTMParams, x, lengths=None):
+def bilstm(fwd: LSTMParams, bwd: LSTMParams, x, lengths=None, *, stream_dtype=None):
     """Bidirectional masked LSTM.
 
     Returns (outputs (B, T, 2H) with [fwd, bwd] features concatenated,
@@ -178,6 +182,6 @@ def bilstm(fwd: LSTMParams, bwd: LSTMParams, x, lengths=None):
     layout torch produces after `torch.cat([state[0], state[1]], -1)`
     (reference model/Preprocessing.py:43-44, 122-123).
     """
-    out_f, h_f = lstm_unroll(fwd, x, lengths, reverse=False)
-    out_b, h_b = lstm_unroll(bwd, x, lengths, reverse=True)
+    out_f, h_f = lstm_unroll(fwd, x, lengths, reverse=False, stream_dtype=stream_dtype)
+    out_b, h_b = lstm_unroll(bwd, x, lengths, reverse=True, stream_dtype=stream_dtype)
     return jnp.concatenate([out_f, out_b], -1), jnp.concatenate([h_f, h_b], -1)

@@ -20,8 +20,12 @@ bidirectional recurrence into one invocation:
   Preprocessing.py:35-40) — the backward half is written at kernel time t
   and time-flipped by the caller (one cheap XLA reverse).
 
-Inference-path kernel: training uses the XLA scan (autodiff). Equivalence is
-tested in interpret mode (tests/test_pallas.py) and on hardware.
+Inference-path kernel; the training path runs the custom-VJP forward/backward
+kernel pair in dualvgr_tpu/ops/lstm_pallas_train.py (see PARITY.md).
+Equivalence is tested in interpret mode (tests/test_pallas.py) and on
+hardware. The bf16 gate-streaming knob is threaded explicitly (the model's
+``compute_dtype`` attribute casts the projected gates before the kernel
+call) — there is no mutable module global.
 """
 
 from __future__ import annotations
@@ -95,12 +99,6 @@ def _kernel(
     def _():
         final_ref[:, :hidden] = hf[:].astype(final_ref.dtype)
         final_ref[:, hidden:] = hb[:].astype(final_ref.dtype)
-
-
-# when set (e.g. "bfloat16"), the fused path streams the projected gates in
-# this dtype — halving the kernel's dominant HBM traffic; compute stays fp32.
-# Drivers set it from cfg.tpu.compute_dtype; None = keep input dtype.
-STREAM_DTYPE: str | None = None
 
 
 @functools.partial(

@@ -456,8 +456,15 @@ def appearance_bilstm_train(
     """Differentiable appearance-encoder BiLSTM layer: fused input
     projection + final-state recurrence, full-length sequences.
 
-    x: (R, T, D) post-tanh/dropout features (NO gradient is propagated to
-    x — callers' upstream is the raw video input). wih_*: (D, 4H);
+    CONTRACT — dL/dx IS DROPPED BY DESIGN (stop_gradient below): this op
+    skips the never-needed dX matmul, which is only sound when nothing
+    trainable sits upstream of ``x``. The one shipped caller satisfies
+    that (AppearanceEncoder: x = dropout(tanh(raw video features)),
+    dualvgr_tpu/models/encoders.py). Any caller with trainable upstream
+    layers would get silently-zero input gradients — use
+    ``bilstm_trainable`` (full VJP) there instead.
+
+    x: (R, T, D) post-tanh/dropout features. wih_*: (D, 4H);
     b_*: (4H,) combined bias (pass ``params.b``; the b_ih+b_hh add outside
     this op routes the shared gradient to both torch-style bias vectors).
     Returns final (R, 2H).

@@ -36,14 +36,6 @@ class TrainState:
     rng: jax.Array
 
 
-def apply_tpu_config(cfg) -> None:
-    """Apply cfg.tpu runtime knobs that live outside the model tree."""
-    from dualvgr_tpu.ops import lstm_pallas
-
-    dtype = cfg.tpu.get("compute_dtype", "float32")
-    lstm_pallas.STREAM_DTYPE = None if dtype == "float32" else dtype
-
-
 def make_lr_schedule(base_lr: float, steps_per_epoch: int, decay_epochs: int = 10):
     """lr = base * 0.5^(epoch // decay_epochs) (reference train.py:341-349)."""
 

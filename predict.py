@@ -24,7 +24,7 @@ import sys
 
 import numpy as np
 
-from dualvgr_tpu.config import cfg_from_file, resolve_dataset_paths
+from dualvgr_tpu.config import cfg_from_file, model_runtime_kwargs, resolve_dataset_paths
 from dualvgr_tpu.data.vocab import load_vocab
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib
@@ -63,7 +63,6 @@ def main(argv=None):
     ckpt_dir = os.path.join(cfg.dataset.save_dir, "ckpt")
     cfg = resolve_dataset_paths(cfg)
     vocab = load_vocab(cfg.dataset.vocab_json)
-    train_lib.apply_tpu_config(cfg)
 
     mesh = data_mesh(cfg.tpu.mesh_axis)
     num_clips = cfg.train.num_of_nodes  # clips == graph nodes (SURVEY section 2.1)
@@ -118,7 +117,7 @@ def main(argv=None):
         graph_layers=kw["graph_layers"],
         unit_layers=args.unit_layers,
         graph_module=kw.get("graph_module", "GAT"),
-        use_pallas=cfg.tpu.use_pallas,
+        **model_runtime_kwargs(cfg),
     )
     import jax
 

@@ -113,3 +113,45 @@ def test_vocab_inversion(synth_dir):
     assert v["question_idx_to_token"][0] == "<NULL>"
     assert v["answer_idx_to_token"][0] == "<UNK0>"
     assert v["question_token_to_idx"]["what"] == v["question_token_to_idx"]["what"]
+
+
+def test_abandoned_epoch_releases_producer(synth_dir):
+    """Breaking out of an epoch mid-iteration must not leave the producer
+    thread parked on q.put, and close() must join it before closing the
+    HDF5 handles it may be reading (round-2 verdict item 6)."""
+    import threading
+
+    n_before = threading.active_count()
+    # cache_gb=0 keeps the HDF5 files open — the handle-in-use hazard case
+    loader = _loader(synth_dir, batch_size=2, feature_cache_gb=0.0, prefetch=1)
+    it = iter(loader)
+    next(it)  # producer is now live and (with prefetch=1) blocked on q.put
+    assert loader._producer is not None and loader._producer.is_alive()
+    del it  # abandon mid-epoch: GeneratorExit fires the generator's finally
+    # a fresh epoch after abandonment works (no deadlock, fresh producer)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    assert loader._producer is None  # exhaustion retired it
+    loader.close()
+    assert loader._producer is None
+    assert loader.app_store._file is None and loader.motion_store._file is None
+    assert threading.active_count() == n_before
+
+
+def test_close_mid_epoch_joins_producer(synth_dir):
+    loader = _loader(synth_dir, batch_size=2, feature_cache_gb=0.0, prefetch=1)
+    it = iter(loader)
+    next(it)
+    t = loader._producer
+    assert t is not None and t.is_alive()
+    loader.close()  # while the iterator is still open
+    assert not t.is_alive()
+    assert loader.app_store._file is None
+
+
+def test_num_workers_maps_to_gather_threads(synth_dir):
+    loader = _loader(synth_dir, num_workers=3)
+    assert loader.app_store.n_threads == 3
+    assert loader.motion_store.n_threads == 3
+    auto = _loader(synth_dir)
+    assert auto.app_store.n_threads is None  # 0 => auto

@@ -117,16 +117,26 @@ def test_train_step_grads_match_xla_path(rng):
     lp, gp = jax.value_and_grad(lambda p: loss_fn(p, model_p))(state.params)
     np.testing.assert_allclose(float(lx), float(lp), rtol=1e-5)
     # gradients agree directly (comparing post-Adam params is ill-conditioned:
-    # Adam amplifies fp32 noise in near-zero gradients to O(lr)). 5e-4: the
-    # kernels' fp32 accumulation order differs from the scan's (~1e-7 on the
-    # dynamic question embedding), and QueryAttn's l2-normalize + masked
-    # softmax amplifies that reorder noise ~1000x into its feat_enhance bias
-    # grad; exact step-level grad parity is pinned by the standalone
-    # test_masked_outputs_gradients_match_scan instead.
-    for a, b_ in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+    # Adam amplifies fp32 noise in near-zero gradients to O(lr)). Per-leaf
+    # tolerance map: the tight 2e-5 default catches regressions in the
+    # composition code between the kernels and the loss; only the
+    # known-amplified QueryAttn leaves get 5e-4 — the kernels' fp32
+    # accumulation order differs from the scan's (~1e-7 on the dynamic
+    # question embedding) and QueryAttn's l2-normalize + masked softmax
+    # amplifies that reorder noise ~1000x into its feat_enhance grads.
+    # Exact step-level grad parity for the kernels themselves is pinned by
+    # the standalone test_masked_outputs_gradients_match_scan.
+    flat_x = jax.tree_util.tree_flatten_with_path(gx)[0]
+    flat_p = jax.tree_util.tree_leaves(gp)
+    assert len(flat_x) == len(flat_p)
+    for (path, a), b_ in zip(flat_x, flat_p):
         a, b_ = np.asarray(a), np.asarray(b_)
+        name = jax.tree_util.keystr(path)
+        atol = 5e-4 if "query_attn" in name else 2e-5
         scale = max(np.abs(a).max(), 1e-3)
-        np.testing.assert_allclose(a / scale, b_ / scale, atol=5e-4)
+        np.testing.assert_allclose(
+            a / scale, b_ / scale, atol=atol, err_msg=f"leaf {name}"
+        )
 
 
 def test_masked_outputs_forward_matches_scan(rng):

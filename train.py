@@ -25,7 +25,7 @@ import sys
 import jax
 import numpy as np
 
-from dualvgr_tpu.config import cfg_from_file, resolve_dataset_paths
+from dualvgr_tpu.config import cfg_from_file, model_runtime_kwargs, resolve_dataset_paths
 from dualvgr_tpu.data import VideoQADataLoader
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib, validate_lib
@@ -45,7 +45,7 @@ def build_model(cfg, vocab) -> DualVGR:
         graph_layers=cfg.graph_layers,
         unit_layers=cfg.unit_layers,
         graph_module=cfg.graph_module,
-        use_pallas=cfg.tpu.use_pallas,
+        **model_runtime_kwargs(cfg),
     )
 
 
@@ -246,7 +246,6 @@ def main(argv=None):
     for k, v in cfg.items():
         logging.info("%s:%s", k, v)
     cfg = resolve_dataset_paths(cfg)
-    train_lib.apply_tpu_config(cfg)
 
     np.random.seed(cfg.seed)
     return train(cfg)

@@ -22,7 +22,7 @@ import sys
 import jax
 import numpy as np
 
-from dualvgr_tpu.config import cfg_from_file, resolve_dataset_paths
+from dualvgr_tpu.config import cfg_from_file, model_runtime_kwargs, resolve_dataset_paths
 from dualvgr_tpu.data import VideoQADataLoader
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib, validate_lib
@@ -46,7 +46,6 @@ def main(argv=None):
     ckpt_dir = os.path.join(cfg.dataset.save_dir, "ckpt")
     assert os.path.exists(os.path.join(ckpt_dir, "model")), f"no checkpoint in {ckpt_dir}"
     cfg = resolve_dataset_paths(cfg)
-    train_lib.apply_tpu_config(cfg)
 
     test_loader = VideoQADataLoader(
         question_pt=cfg.dataset.test_question_pt,
@@ -76,7 +75,7 @@ def main(argv=None):
         graph_layers=kw["graph_layers"],
         unit_layers=args.unit_layers,
         graph_module=kw.get("graph_module", "GAT"),
-        use_pallas=cfg.tpu.use_pallas,
+        **model_runtime_kwargs(cfg),
     )
 
     # metadata-only example shapes (no batch pull, no producer thread)
