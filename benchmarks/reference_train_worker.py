@@ -1,0 +1,179 @@
+"""Subprocess worker: run the ACTUAL reference trainer on a synthetic fixture.
+
+Imports /root/reference's own train.py and executes its real ``train(cfg)``
+loop (reference train.py:27-326) — its torch DataLoader, loss loop
+(CE + alpha*common + beta*HSIC, train.py:146-154), Adam + clip-12 +
+step-decay optimizer, and its validate() (validate.py:23-235) — on the
+synthetic fixture, with the same CPU-safe patches tests/test_reference_port.py
+uses plus two more the trainer needs:
+
+* ``torch.Tensor.to``: ignore hardcoded 'cuda:*' targets (models.py:118-119,
+  model/utils.py:72),
+* ``torch.Tensor.cuda``: identity (train.py:138,152-153; utils.py:22),
+* ``time.sleep`` inside the reference train module: no-op (the reference
+  sleeps 10 s before every checkpoint save, train.py:366).
+
+Runs as a SUBPROCESS so the reference's top-level module names (train,
+validate, config, utils, DataLoader) never collide with this repo's own
+modules in the parent's sys.modules.
+
+Writes into --out:
+  ref_init_state.pt   torch state_dict at construction (pre-GloVe; the
+                      parent ports it into the TPU model and applies the
+                      same GloVe matrix, mirroring reference train.py:75-79)
+  ref_final_state.pt  state_dict after the last epoch
+  ref_accs.json       {"val_acc": [per-epoch], "categories": last epoch's
+                      15-way accuracies, "n_val": int}
+
+NOTE the reference trainer quirk (SURVEY.md 2.11-1): train.py never passes
+unit_layers to the model, so the reference ALWAYS trains with the signature
+default unit_layers=2 (models.py:36). The parent must therefore build the
+TPU model with unit_layers=2 to compare like against like.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import sys
+import types
+
+REFERENCE = "/root/reference"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", required=True, help="synthetic fixture dir")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--vision-dim", type=int, default=64)
+    ap.add_argument("--module-dim", type=int, default=64)
+    ap.add_argument("--word-dim", type=int, default=32)
+    ap.add_argument("--num-of-nodes", type=int, default=4)
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument("--beta", type=float, default=1e-8)
+    ap.add_argument("--seed", type=int, default=666)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    import numpy as np
+    import torch
+
+    # ---- CPU-safe reference import (cf. tests/test_reference_port.py) ----
+    sys.path.insert(0, REFERENCE)
+    if "easydict" not in sys.modules:
+        m = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            # like the real easydict: dicts assigned via attribute access
+            # are recursively wrapped (the reference relies on this —
+            # config.py does ``__C.train = dict(__C.train)`` and still uses
+            # cfg.train.lr afterwards)
+            __getattr__ = dict.__getitem__
+
+            def __setattr__(self, k, v):
+                if isinstance(v, dict) and not isinstance(v, EasyDict):
+                    v = EasyDict(v)
+                self[k] = v
+
+        m.EasyDict = EasyDict
+        sys.modules["easydict"] = m
+
+    orig_to = torch.Tensor.to
+
+    def cpu_to(self, *a, **k):
+        if a and isinstance(a[0], str) and a[0].startswith("cuda"):
+            return self
+        return orig_to(self, *a, **k)
+
+    torch.Tensor.to = cpu_to
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    import train as ref_train  # /root/reference/train.py
+    from config import cfg  # reference global config defaults
+
+    # no 10 s naps before checkpoint saves (reference train.py:366)
+    import time as _time
+
+    ref_train.time = types.SimpleNamespace(
+        sleep=lambda s: None, localtime=_time.localtime, strftime=_time.strftime
+    )
+
+    # ---- capture the constructed model's initial + final weights ---------
+    real_ctor = ref_train.modelset.DualVGR
+    captured = {}
+
+    def capturing_ctor(**kw):
+        model = real_ctor(**kw)
+        captured["init"] = copy.deepcopy(model.state_dict())
+        captured["model"] = model
+        return model
+
+    ref_train.modelset = types.SimpleNamespace(DualVGR=capturing_ctor)
+
+    # ---- record every per-epoch validation -------------------------------
+    real_validate = ref_train.validate
+    accs = {"val_acc": [], "categories": None, "n_val": None}
+
+    def recording_validate(cfg_, model, data, device, write_preds=False):
+        out = real_validate(cfg_, model, data, device, write_preds)
+        accs["val_acc"].append(float(out[0]))
+        accs["categories"] = [float(x) for x in out[1:]]
+        accs["n_val"] = len(data.dataset)
+        return out
+
+    ref_train.validate = recording_validate
+
+    # ---- reference cfg, pointed at the fixture ---------------------------
+    name = "svqa"
+    d = args.data_dir
+    cfg.dataset.name = name
+    cfg.dataset.data_dir = d
+    cfg.dataset.save_dir = os.path.join(args.out, "ref_results")
+    cfg.dataset.appearance_feat = os.path.join(d, f"{name}_appearance_feat.h5")
+    cfg.dataset.motion_feat = os.path.join(d, f"{name}_motion_feat.h5")
+    cfg.dataset.vocab_json = os.path.join(d, f"{name}_vocab.json")
+    cfg.dataset.train_question_pt = os.path.join(d, f"{name}_train_questions.pt")
+    cfg.dataset.val_question_pt = os.path.join(d, f"{name}_val_questions.pt")
+    cfg.model_type = "DualVGR"
+    cfg.graph_module = "GAT"
+    cfg.graph_layers = 1
+    cfg.num_workers = 0
+    cfg.multi_gpus = False
+    cfg.train.lr = args.lr
+    cfg.train.batch_size = args.batch_size
+    cfg.train.max_epochs = args.epochs
+    cfg.train.vision_dim = args.vision_dim
+    cfg.train.word_dim = args.word_dim
+    cfg.train.module_dim = args.module_dim
+    cfg.train.num_of_nodes = args.num_of_nodes
+    cfg.train.train_num = 0
+    cfg.train.glove = True
+    cfg.train.restore = False
+    cfg.val.flag = True
+    cfg.val.val_num = 0
+    cfg.alpha = args.alpha
+    cfg.beta = args.beta
+    os.makedirs(cfg.dataset.save_dir, exist_ok=True)
+
+    # seeding exactly as reference main() does (train.py:425-428)
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed)
+
+    ref_train.train(cfg)
+
+    torch.save(captured["init"], os.path.join(args.out, "ref_init_state.pt"))
+    torch.save(
+        captured["model"].state_dict(), os.path.join(args.out, "ref_final_state.pt")
+    )
+    with open(os.path.join(args.out, "ref_accs.json"), "w") as f:
+        json.dump(accs, f, indent=2)
+    print("REF_WORKER_OK", json.dumps(accs["val_acc"]))
+
+
+if __name__ == "__main__":
+    main()

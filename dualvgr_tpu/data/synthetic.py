@@ -28,6 +28,15 @@ import h5py
 import numpy as np
 
 
+# id -> loader-side category-name (reference DataLoader.py:29-30 key set)
+_LOADER_CATEGORY_NAMES = [
+    "count", "exist", "query_color", "query_size", "query_actiontype",
+    "query_actiondir", "query_shape", "greater_than", "equal_to",
+    "less_than", "equal_color", "equal_size", "equal_actiontype",
+    "equal_actiondir", "equal_shape",
+]
+
+
 def generate(
     out_dir: str,
     dataset: str = "svqa",
@@ -44,6 +53,7 @@ def generate(
     module_dim: int = 96,
     batch_size: int = 32,
     max_epochs: int = 2,
+    category_names: bool = False,
 ) -> dict:
     """Write all artifacts; returns {'config': path to the YAML, ...}."""
     rng = np.random.RandomState(seed)
@@ -112,7 +122,15 @@ def generate(
                     num_answers - 2
                 )
                 answers.append(ans)
-                cats.append(int(rng.randint(0, 15)))
+                cat = int(rng.randint(0, 15))
+                # category_names: store the loader-side string names
+                # (reference DataLoader.py:29-30) instead of ints. The
+                # reference's OWN pipeline is int-incompatible: its
+                # preprocessing stores ints (svqa.py:95) but its loader maps
+                # QUESTION_CATEGORY[category] with string keys
+                # (DataLoader.py:65) and crashes on ints — string pickles
+                # are the only form its loader can actually consume.
+                cats.append(_LOADER_CATEGORY_NAMES[cat] if category_names else cat)
                 qid += 1
         obj = {
             "questions": np.stack(qs),
