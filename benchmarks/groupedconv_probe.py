@@ -52,16 +52,18 @@ def chain_time(fn, x, steps):
 
     float(chained(x, 1))
     float(chained(x, steps + 1))
-    best = float("inf")
-    for _ in range(3):
+    # min the long runs and the launch-overhead baselines SEPARATELY:
+    # min-of-differences selects noise outliers (negative times) when the
+    # per-step work is small relative to tunnel jitter
+    t1s, tns = [], []
+    for _ in range(4):
         t0 = time.perf_counter()
         float(chained(x, 1))
-        t1 = time.perf_counter() - t0
+        t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(chained(x, steps + 1))
-        tn = time.perf_counter() - t0
-        best = min(best, (tn - t1) / steps)
-    return best
+        tns.append(time.perf_counter() - t0)
+    return max(min(tns) - min(t1s), 0.0) / steps
 
 
 def main():
@@ -69,6 +71,9 @@ def main():
     ap.add_argument("--clips", type=int, default=32)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--skip-stages", action="store_true")
+    ap.add_argument("--stages", default="", help="comma list to run (default all)")
+    ap.add_argument("--cands", default="", help="comma list of candidates (default all)")
+    ap.add_argument("--no-backbone", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -154,7 +159,11 @@ def main():
         "einsum": group_einsum,
     }
 
+    want_stages = set(filter(None, args.stages.split(",")))
+    want_cands = set(filter(None, args.cands.split(",")))
     for name, t, h, wdt, c, stride, nblocks in stages:
+        if want_stages and name not in want_stages:
+            continue
         wg = c // G
         x = jnp.asarray(rng.randn(B, t, h, wdt, c).astype(np.float32))
         k_grouped = jnp.asarray(
@@ -162,6 +171,8 @@ def main():
         )
         row = {"n_blocks": nblocks}
         for cname, fn in candidates.items():
+            if want_cands and cname not in want_cands:
+                continue
             if cname == "blockdiag" and c > 512:
                 row[cname] = None  # 32x flops at 1024 ch: pointless, skip
                 continue
@@ -170,19 +181,21 @@ def main():
                 row[cname] = round(per * 1e3, 3)
             except Exception as e:  # pragma: no cover
                 row[cname] = f"error: {type(e).__name__}"
-        # bf16 variant of the best-known-cheap path
-        xb = x.astype(jnp.bfloat16)
-        kb = k_grouped.astype(jnp.bfloat16)
-        try:
-            per = chain_time(functools.partial(grouped_nnconv, k=kb, stride=stride), xb, args.steps)
-            row["nnconv_bf16"] = round(per * 1e3, 3)
-        except Exception as e:  # pragma: no cover
-            row["nnconv_bf16"] = f"error: {type(e).__name__}"
+            print(f"# {name}/{cname}: {row.get(cname)}", flush=True)
+        # bf16 variant of the baseline path
+        if not want_cands or "nnconv_bf16" in want_cands:
+            xb = x.astype(jnp.bfloat16)
+            kb = k_grouped.astype(jnp.bfloat16)
+            try:
+                per = chain_time(functools.partial(grouped_nnconv, k=kb, stride=stride), xb, args.steps)
+                row["nnconv_bf16"] = round(per * 1e3, 3)
+            except Exception as e:  # pragma: no cover
+                row["nnconv_bf16"] = f"error: {type(e).__name__}"
+            print(f"# {name}/nnconv_bf16: {row.get('nnconv_bf16')}", flush=True)
         out[name] = row
-        print(f"# {name}: {row}", file=sys.stderr)
 
     # whole-backbone fp32 vs bf16
-    if not args.skip_stages:
+    if not args.no_backbone:
         from dualvgr_tpu.models.backbones.resnext3d import ResNeXt101_3D
 
         cpu0 = jax.devices("cpu")[0]
