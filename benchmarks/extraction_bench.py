@@ -54,13 +54,17 @@ def chain_time(fn, x, steps):
 
     float(chained(x, 1))
     float(chained(x, steps + 1))
-    t0 = time.perf_counter()
-    float(chained(x, 1))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chained(x, steps + 1))
-    tn = time.perf_counter() - t0
-    return (tn - t1) / steps
+    # min long runs and baselines separately (min-of-differences selects
+    # jitter outliers for fast ops)
+    t1s, tns = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(x, 1))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(chained(x, steps + 1))
+        tns.append(time.perf_counter() - t0)
+    return max(min(tns) - min(t1s), 0.0) / steps
 
 
 def analytic_flops(fn, x):
@@ -125,11 +129,36 @@ def main():
 
     per = chain_time(mot_fn, clips, args.steps)
     cps = args.clips / per
-    flops = analytic_flops(mot_fn, clips) / args.clips
+    # useful-FLOPs denominator from the DIRECT lowerings: the shipped model
+    # may run grouped convs as block-diagonal dense (32x the multiplies on
+    # zeros) and the s2d stem (~1.3x taps) — counting those would flatter
+    # MFU with wasted flops
+    mot_ref = ResNeXt101_3D(conv2_impl="grouped", stem_impl="base")
+    flops = analytic_flops(lambda x: mot_ref.apply(mot_vars, x), clips) / args.clips
     out["resnext3d_clips_per_sec"] = round(cps, 1)
     out["resnext3d_videos_per_sec_16clips"] = round(cps / 16, 2)
     out["resnext3d_gflops_per_clip"] = round(flops / 1e9, 2)
     out["resnext3d_mfu"] = round(flops * cps / (PEAK_TFLOPS * 1e12), 4)
+
+    # bf16 inference variants (--compute-dtype bfloat16 on the extraction
+    # CLI): same useful FLOPs, half the MXU/HBM cost per op
+    app16 = ResNet101(compute_dtype="bfloat16")
+    per = chain_time(lambda x: app16.apply(app_vars, x), frames, args.steps)
+    fps16 = args.frames / per
+    out["resnet101_bf16_frames_per_sec"] = round(fps16, 1)
+    out["resnet101_bf16_mfu"] = round(
+        out["resnet101_gflops_per_frame"] * 1e9 * fps16 / (PEAK_TFLOPS * 1e12), 4
+    )
+    mot16 = ResNeXt101_3D(compute_dtype="bfloat16")
+    per = chain_time(lambda x: mot16.apply(mot_vars, x), clips, args.steps)
+    cps16 = args.clips / per
+    out["resnext3d_bf16_clips_per_sec"] = round(cps16, 1)
+    out["resnext3d_bf16_mfu"] = round(flops * cps16 / (PEAK_TFLOPS * 1e12), 4)
+    v_app16 = fps16 / 256
+    v_mot16 = cps16 / 16
+    out["videos_per_sec_both_features_bf16"] = round(
+        1.0 / (1.0 / v_app16 + 1.0 / v_mot16), 2
+    )
 
     # end-to-end device bound: a video needs BOTH feature types
     v_app = out["resnet101_videos_per_sec_16x16"]

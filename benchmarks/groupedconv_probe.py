@@ -153,11 +153,15 @@ def main():
             b, to, ho, wo, c
         )
 
+    # einsum (27-tap patch materialization) measured 11-58 ms/stage — HBM
+    # dead on arrival, and its layer3 compile crashed the TPU worker; it
+    # stays available via --cands einsum but is out of the default set
     candidates = {
         "nnconv": grouped_nnconv,
         "blockdiag": blockdiag_dense,
-        "einsum": group_einsum,
     }
+    if "einsum" in args.cands:
+        candidates["einsum"] = group_einsum
 
     want_stages = set(filter(None, args.stages.split(",")))
     want_cands = set(filter(None, args.cands.split(",")))
@@ -194,28 +198,45 @@ def main():
             print(f"# {name}/nnconv_bf16: {row.get('nnconv_bf16')}", flush=True)
         out[name] = row
 
-    # whole-backbone fp32 vs bf16
+    # whole-backbone fp32 vs bf16, plus stage-prefix attribution: timing
+    # max_stages = 0 (stem+pool), 1, 2, 3, 4 and differencing assigns the
+    # wall time to each stage of the real network
     if not args.no_backbone:
         from dualvgr_tpu.models.backbones.resnext3d import ResNeXt101_3D
 
         cpu0 = jax.devices("cpu")[0]
-        model = ResNeXt101_3D()
-        with jax.default_device(cpu0):
-            variables = model.init(
-                jax.random.PRNGKey(1), np.zeros((1, 16, 112, 112, 3), np.float32)
-            )
-        variables = jax.device_put(variables, jax.devices()[0])
+        dtype = os.environ.get("PROBE_DTYPE", "float32")
         clips = jnp.asarray(rng.randn(B, 16, 112, 112, 3).astype(np.float32))
-
-        per32 = chain_time(lambda x: model.apply(variables, x), clips, args.steps)
-        out["backbone_fp32_ms"] = round(per32 * 1e3, 2)
-        out["backbone_fp32_clips_per_sec"] = round(B / per32, 1)
-
-        vb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), variables)
-        clips16 = clips.astype(jnp.bfloat16)
-        per16 = chain_time(lambda x: model.apply(vb, x), clips16, args.steps)
-        out["backbone_bf16_ms"] = round(per16 * 1e3, 2)
-        out["backbone_bf16_clips_per_sec"] = round(B / per16, 1)
+        prev = 0.0
+        for k in range(5):
+            model = ResNeXt101_3D(max_stages=k, compute_dtype=dtype)
+            with jax.default_device(cpu0):
+                variables = model.init(
+                    jax.random.PRNGKey(1), np.zeros((1, 16, 112, 112, 3), np.float32)
+                )
+            variables = jax.device_put(variables, jax.devices()[0])
+            per = chain_time(lambda x, m=model, v=variables: m.apply(v, x), clips, args.steps)
+            label = ("stem" if k == 0 else f"prefix_l{k}") + (
+                "" if dtype == "float32" else "_" + dtype
+            )
+            out[f"{label}_ms"] = round(per * 1e3, 2)
+            out[f"{label}_delta_ms"] = round((per - prev) * 1e3, 2)
+            print(f"# {label}: {per * 1e3:.2f} ms (delta {(per - prev) * 1e3:.2f})",
+                  flush=True)
+            prev = per
+            if k == 4:
+                out["backbone_fp32_ms"] = round(per * 1e3, 2)
+                out["backbone_fp32_clips_per_sec"] = round(B / per, 1)
+                vb = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), variables
+                )
+                clips16 = clips.astype(jnp.bfloat16)
+                per16 = chain_time(
+                    lambda x: model.apply(vb, x), clips16, args.steps
+                )
+                out["backbone_bf16_ms"] = round(per16 * 1e3, 2)
+                out["backbone_bf16_clips_per_sec"] = round(B / per16, 1)
+                print(f"# backbone bf16: {per16 * 1e3:.2f} ms", flush=True)
 
     print(json.dumps(out))
 

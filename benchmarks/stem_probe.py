@@ -1,0 +1,159 @@
+"""Probe: stem-conv lowerings for the 3D ResNeXt motion backbone.
+
+The stage attribution (groupedconv_probe) puts the stem — one 7x7x7
+stride-(1,2,2) conv from THREE input channels + BN/relu/maxpool — at
+10.9 ms of the 28.7 ms backbone at batch 32: C_in=3 fills 3/128 MXU lanes.
+Candidates, all numerically identical to the baseline (verified on CPU in
+tests/test_backbones.py):
+
+  base      nn.Conv as shipped
+  pad8      zero-pad input channels 3 -> 8 (kernel rows 3..7 zero)
+  s2d       space-to-depth: fold the HxW stride-2 into channels
+            ((..., 112, 112, 3) -> (..., 56, 56, 12)); the 7x7 spatial taps
+            become 4x4 on the folded grid with matching zero slots, so the
+            conv runs stride-1 from 12 channels (the standard TPU ResNet
+            stem trick)
+
+    python benchmarks/stem_probe.py [--clips 32] [--steps 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def chain_time(fn, x, steps, repeats=4):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(x, n):
+        def body(i, carry):
+            acc, eps = carry
+            out = fn(x + eps)
+            s = out.sum().astype(jnp.float32)
+            return acc + s, (s * 1e-30).astype(x.dtype)
+
+        acc, _ = jax.lax.fori_loop(
+            0, n, body, (jnp.zeros((), "float32"), jnp.zeros((), x.dtype))
+        )
+        return acc
+
+    float(chained(x, 1))
+    float(chained(x, steps + 1))
+    t1s, tns = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(chained(x, 1))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(chained(x, steps + 1))
+        tns.append(time.perf_counter() - t0)
+    return max(min(tns) - min(t1s), 0.0) / steps
+
+
+def fold_s2d(x):
+    """(B, T, H, W, 3) -> (B, T, H/2, W/2, 12), fold layout (pr, pc, ch)."""
+    import jax.numpy as jnp
+
+    b, t, h, w, c = x.shape
+    y = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+    y = y.transpose(0, 1, 2, 4, 3, 5, 6)
+    return y.reshape(b, t, h // 2, w // 2, 4 * c)
+
+
+def s2d_kernel(k):
+    """(7, 7, 7, 3, 64) -> (7, 4, 4, 12, 64) matching fold_s2d.
+
+    dh = 2R + pr - 1 (invalid slots zero); same for dw.
+    """
+    import jax.numpy as jnp
+
+    t, _, _, cin, cout = k.shape
+    kd = jnp.zeros((t, 4, 4, 2, 2, cin, cout), k.dtype)
+    for R in range(4):
+        for pr in range(2):
+            dh = 2 * R + pr - 1
+            if not 0 <= dh <= 6:
+                continue
+            for C in range(4):
+                for pc in range(2):
+                    dw = 2 * C + pc - 1
+                    if not 0 <= dw <= 6:
+                        continue
+                    kd = kd.at[:, R, C, pr, pc, :, :].set(k[:, dh, dw, :, :])
+    return kd.reshape(t, 4, 4, 4 * cin, cout)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rng = np.random.RandomState(0)
+    B = args.clips
+    x = jnp.asarray(rng.randn(B, 16, 112, 112, 3).astype(np.float32))
+    k = jnp.asarray((rng.randn(7, 7, 7, 3, 64) * 0.05).astype(np.float32))
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+
+    def base(x):
+        return jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (1, 2, 2), [(3, 3), (3, 3), (3, 3)],
+            dimension_numbers=dn,
+        )
+
+    k8 = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, 5), (0, 0)))
+
+    def pad8(x):
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 5)))
+        return jax.lax.conv_general_dilated(
+            xp, k8.astype(x.dtype), (1, 2, 2), [(3, 3), (3, 3), (3, 3)],
+            dimension_numbers=dn,
+        )
+
+    ks = s2d_kernel(k)
+
+    def s2d(x):
+        xf = fold_s2d(x)
+        return jax.lax.conv_general_dilated(
+            xf, ks.astype(x.dtype), (1, 1, 1), [(3, 3), (2, 1), (2, 1)],
+            dimension_numbers=dn,
+        )
+
+    # numeric check on device before timing
+    ref = base(x[:2])
+    for name, fn in (("pad8", pad8), ("s2d", s2d)):
+        got = fn(x[:2])
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert got.shape == ref.shape and err < 1e-3, (name, got.shape, ref.shape, err)
+
+    out = {"clips": B}
+    for name, fn in (("base", base), ("pad8", pad8), ("s2d", s2d)):
+        out[f"{name}_ms"] = round(chain_time(fn, x, args.steps) * 1e3, 3)
+        print(f"# {name}: {out[f'{name}_ms']}", flush=True)
+        xb = x.astype(jnp.bfloat16)
+        out[f"{name}_bf16_ms"] = round(chain_time(fn, xb, args.steps) * 1e3, 3)
+        print(f"# {name}_bf16: {out[f'{name}_bf16_ms']}", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

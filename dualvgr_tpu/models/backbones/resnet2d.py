@@ -13,11 +13,32 @@ with random weights (tests/test_backbones.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
+
+
+class _TypedNN:
+    """Partial-application shim: `nn.Conv`/`nn.BatchNorm` with the module's
+    compute dtype bound, everything else passed through. Lets the layer
+    bodies read exactly as before while honoring ``compute_dtype``."""
+
+    def __init__(self, dtype):
+        self._dtype = dtype
+
+    def __getattr__(self, name):
+        attr = getattr(nn, name)
+        if self._dtype is not None and name in ("Conv", "BatchNorm"):
+            return functools.partial(attr, dtype=self._dtype)
+        return attr
+
+
+@functools.lru_cache(maxsize=None)
+def _typed(compute_dtype: str) -> _TypedNN:
+    return _TypedNN(None if compute_dtype == "float32" else jnp.dtype(compute_dtype))
 
 
 class Bottleneck(nn.Module):
@@ -26,9 +47,11 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        nn = _typed(self.compute_dtype)
         residual = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn1")(y)
@@ -53,12 +76,20 @@ class Bottleneck(nn.Module):
 
 
 class ResNet101(nn.Module):
-    """Feature extractor: (B, H, W, 3) NHWC float -> (B, 2048)."""
+    """Feature extractor: (B, H, W, 3) NHWC float -> (B, 2048).
+
+    ``compute_dtype="bfloat16"`` runs every conv + BN in bf16 (params stay
+    fp32; flax casts per call) — the inference mixed-precision path for
+    offline extraction; the output feature is cast back to the input dtype.
+    """
 
     layers: Sequence[int] = (3, 4, 23, 3)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        in_dtype = x.dtype
+        nn = _typed(self.compute_dtype)
         y = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, name="conv1",
@@ -74,9 +105,11 @@ class ResNet101(nn.Module):
                 downsample = block == 0  # first block always projects (even stage 0: 64->256)
                 y = Bottleneck(
                     p, stride=stride, downsample=downsample,
+                    compute_dtype=self.compute_dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(y)
-        return jnp.mean(y, axis=(1, 2))  # global average pool -> (B, 2048)
+        # global average pool -> (B, 2048); fp32 reduction + output
+        return jnp.mean(y.astype(in_dtype), axis=(1, 2))
 
 
 def _conv_kernel(w: np.ndarray) -> np.ndarray:

@@ -18,10 +18,114 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dualvgr_tpu.models.backbones.resnet2d import _typed
+
 _P3 = ((1, 1), (1, 1), (1, 1))
+
+
+class GroupedConv3D(nn.Module):
+    """Cardinality-G 3x3x3 conv with a TPU-measured lowering choice.
+
+    The parameter keeps the grouped shape (3, 3, 3, C/G, C) — checkpoint
+    ports are unchanged — but the forward may run it as a DENSE conv with
+    a block-diagonal kernel: XLA's grouped-conv path collapses at small
+    group widths (measured ~1% MXU at width 4; benchmarks/groupedconv_probe.py),
+    where the dense lowering is 3.6x faster at layer1 and ~2.8x on the
+    strided blocks DESPITE doing G times the multiply-adds. Zero blocks
+    contribute exact zeros, so the result is bit-comparable.
+
+    impl="auto" picks per the probe: block-diagonal iff width <= 4
+    (C <= 128) or (strided and C <= 512); grouped otherwise (stride-1
+    blocks at width >= 8 run fine grouped: 0.05-0.10 ms).
+    """
+
+    features: int
+    groups: int = 32
+    stride: int = 1
+    impl: str = "auto"  # "auto" | "grouped" | "blockdiag"
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        g = self.groups
+        w_in = c_in // g
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, w_in, self.features),
+        )
+        if self.compute_dtype != "float32":
+            dt = jnp.dtype(self.compute_dtype)
+            x, kernel = x.astype(dt), kernel.astype(dt)
+        impl = self.impl
+        if impl == "auto":
+            blockdiag = (c_in <= 128) or (self.stride > 1 and c_in <= 512)
+            impl = "blockdiag" if blockdiag else "grouped"
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+        if impl == "blockdiag":
+            w_out = self.features // g
+            eye = jnp.eye(g, dtype=kernel.dtype)
+            # kd[p, h, i, g', j] = kernel[p, i, g', j] * eye[h, g']
+            kd = eye[None, :, None, :, None] * kernel.reshape(
+                27, 1, w_in, g, w_out
+            )
+            kd = kd.reshape(3, 3, 3, g * w_in, self.features)
+            return jax.lax.conv_general_dilated(
+                x, kd, (self.stride,) * 3, _P3, dimension_numbers=dn
+            )
+        return jax.lax.conv_general_dilated(
+            x, kernel, (self.stride,) * 3, _P3,
+            dimension_numbers=dn, feature_group_count=g,
+        )
+
+
+class StemConv3D(nn.Module):
+    """The 7x7x7 stride-(1,2,2) stem conv from 3 input channels.
+
+    Parameter shape stays (7, 7, 7, 3, features) (checkpoint-port
+    compatible) but the forward runs SPACE-TO-DEPTH: the HxW stride-2 is
+    folded into channels ((..., H, W, 3) -> (..., H/2, W/2, 12)) and the
+    7x7 spatial taps become 4x4 on the folded grid (tap dh lives at folded
+    (R, pr) with dh = 2R + pr - 1; the one invalid slot is zero). Exact to
+    fp round-off, and measured 27% faster than the direct conv on TPU
+    (C_in=3 fills 3/128 MXU lanes; benchmarks/stem_probe.py: 9.09 ms ->
+    6.60 ms at batch 32). Odd H/W falls back to the direct conv.
+    """
+
+    features: int = 64
+    compute_dtype: str = "float32"
+    impl: str = "auto"  # "auto" (s2d when H, W even) | "base"
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 7, 3, self.features)
+        )
+        if self.compute_dtype != "float32":
+            dt = jnp.dtype(self.compute_dtype)
+            x, kernel = x.astype(dt), kernel.astype(dt)
+        b, t, h, w, c = x.shape
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+        if self.impl == "base" or h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (1, 2, 2), [(3, 3)] * 3, dimension_numbers=dn
+            )
+        # fold 2x2 spatial into channels, layout (pr, pc, ch)
+        xf = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+        xf = xf.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h // 2, w // 2, 4 * c)
+        # kernel: gather dh = 2R + pr - 1 via a zero-padded tap axis
+        kp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+        idx = jnp.arange(8).reshape(4, 2)  # [R, pr] -> dh + 1
+        kd = kp[:, idx][:, :, :, idx]  # (7, 4, 2, 4, 2, 3, F)
+        kd = kd.transpose(0, 1, 3, 2, 4, 5, 6).reshape(7, 4, 4, 4 * c, self.features)
+        return jax.lax.conv_general_dilated(
+            xf, kd, (1, 1, 1), [(3, 3), (2, 1), (2, 1)], dimension_numbers=dn
+        )
 
 
 class ResNeXtBottleneck3D(nn.Module):
@@ -31,18 +135,21 @@ class ResNeXtBottleneck3D(nn.Module):
     cardinality: int = 32
     stride: int = 1
     downsample: bool = False
+    compute_dtype: str = "float32"
+    conv2_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
+        nn = _typed(self.compute_dtype)
         mid = self.cardinality * (self.planes // 32)
         s = (self.stride,) * 3
         residual = x
         y = nn.Conv(mid, (1, 1, 1), use_bias=False, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(
-            mid, (3, 3, 3), strides=s, padding=_P3,
-            feature_group_count=self.cardinality, use_bias=False, name="conv2",
+        y = GroupedConv3D(
+            mid, self.cardinality, self.stride, self.conv2_impl,
+            compute_dtype=self.compute_dtype, name="conv2",
         )(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn2")(y)
         y = nn.relu(y)
@@ -60,32 +167,47 @@ class ResNeXtBottleneck3D(nn.Module):
 
 
 class ResNeXt101_3D(nn.Module):
-    """(B, T, H, W, 3) NDHWC float -> (B, 2048)."""
+    """(B, T, H, W, 3) NDHWC float -> (B, 2048).
+
+    ``max_stages`` truncates after the stem (0) or stage N in {1..4} —
+    used by benchmarks to attribute per-stage cost; 4 = the full network.
+    """
 
     layers: Sequence[int] = (3, 4, 23, 3)
     cardinality: int = 32
+    max_stages: int = 4
+    compute_dtype: str = "float32"
+    # lowering overrides ("auto" = the TPU-measured heuristics; "grouped" /
+    # "base" = the reference-shaped direct lowerings, used e.g. to compute
+    # the honest useful-FLOPs denominator for MFU)
+    conv2_impl: str = "auto"
+    stem_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(
-            64, (7, 7, 7), strides=(1, 2, 2), padding=((3, 3), (3, 3), (3, 3)),
-            use_bias=False, name="conv1",
-        )(x)
+        in_dtype = x.dtype
+        nn = _typed(self.compute_dtype)
+        y = StemConv3D(64, self.compute_dtype, self.stem_impl, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3, 3), strides=(2, 2, 2), padding=_P3)
         planes = (128, 256, 512, 1024)
         inplanes = 64
         for stage, (p, n) in enumerate(zip(planes, self.layers)):
+            if stage >= self.max_stages:
+                break
             for block in range(n):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 downsample = block == 0 and (stride != 1 or inplanes != p * 2)
                 y = ResNeXtBottleneck3D(
                     p, cardinality=self.cardinality, stride=stride,
-                    downsample=downsample, name=f"layer{stage + 1}_{block}",
+                    downsample=downsample, compute_dtype=self.compute_dtype,
+                    conv2_impl=self.conv2_impl,
+                    name=f"layer{stage + 1}_{block}",
                 )(y)
                 inplanes = p * 2
-        return jnp.mean(y, axis=(1, 2, 3))  # (B, 2048)
+        # fp32 pool reduction + output regardless of compute dtype
+        return jnp.mean(y.astype(in_dtype), axis=(1, 2, 3))  # (B, C)
 
 
 def _conv_kernel3d(w: np.ndarray) -> np.ndarray:

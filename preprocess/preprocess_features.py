@@ -117,7 +117,7 @@ def extract_clips_with_consecutive_frames(
     return np.asarray(clips, np.float32), True
 
 
-def build_appearance_extractor(ckpt_path, mesh):
+def build_appearance_extractor(ckpt_path, mesh, compute_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -125,7 +125,7 @@ def build_appearance_extractor(ckpt_path, mesh):
     from dualvgr_tpu.models.backbones.resnet2d import IMAGENET_MEAN, IMAGENET_STD_REF
     from dualvgr_tpu.parallel import replicate, shard_batch
 
-    model = ResNet101()
+    model = ResNet101(compute_dtype=compute_dtype)
     if ckpt_path:
         import torch
 
@@ -154,14 +154,14 @@ def build_appearance_extractor(ckpt_path, mesh):
     return extract
 
 
-def build_motion_extractor(ckpt_path, mesh):
+def build_motion_extractor(ckpt_path, mesh, compute_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
     from dualvgr_tpu.models.backbones import ResNeXt101_3D, port_resnext101_state_dict
     from dualvgr_tpu.parallel import replicate, shard_batch
 
-    model = ResNeXt101_3D()
+    model = ResNeXt101_3D(compute_dtype=compute_dtype)
     if ckpt_path:
         import torch
 
@@ -196,9 +196,9 @@ def generate_h5(args, video_paths):
     image_size = (args.image_height, args.image_width)
     dataset_name = "resnet_features" if appearance else "resnext_features"
     extractor = (
-        build_appearance_extractor(args.ckpt, mesh)
+        build_appearance_extractor(args.ckpt, mesh, getattr(args, "compute_dtype", "float32"))
         if appearance
-        else build_motion_extractor(args.ckpt, mesh)
+        else build_motion_extractor(args.ckpt, mesh, getattr(args, "compute_dtype", "float32"))
     )
 
     # threaded decode pipeline: a pool of decoder threads (cv2 releases the
@@ -314,6 +314,12 @@ def main(argv=None):
     parser.add_argument("--videos_per_batch", type=int, default=4)
     parser.add_argument("--decode_threads", type=int, default=8)
     parser.add_argument("--seed", type=int, default=666)
+    parser.add_argument(
+        "--compute-dtype", default="float32", choices=["float32", "bfloat16"],
+        help="backbone inference dtype; bfloat16 halves MXU/HBM cost with "
+             "~1e-2 relative feature error (downstream predictions "
+             "unchanged on the synthetic fixture — tests/test_preprocess_e2e.py)",
+    )
     args = parser.parse_args(argv)
 
     if args.model == "resnet101":

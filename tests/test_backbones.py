@@ -192,3 +192,62 @@ def test_resnext3d_dataparallel_prefix(rng):
     a = np.asarray(v1["params"]["conv1"]["kernel"])
     b = np.asarray(v2["params"]["conv1"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_grouped_conv3d_lowerings_agree(rng):
+    """blockdiag == grouped == nn-style grouped conv, strided and not."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualvgr_tpu.models.backbones.resnext3d import GroupedConv3D
+
+    for c, stride in ((64, 1), (64, 2)):
+        x = jnp.asarray(rng.randn(2, 4, 6, 6, c).astype(np.float32))
+        mods = {
+            impl: GroupedConv3D(c, groups=32, stride=stride, impl=impl)
+            for impl in ("grouped", "blockdiag", "auto")
+        }
+        v = mods["grouped"].init(jax.random.PRNGKey(0), x)
+        outs = {impl: m.apply(v, x) for impl, m in mods.items()}
+        np.testing.assert_allclose(
+            np.asarray(outs["blockdiag"]), np.asarray(outs["grouped"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["auto"]), np.asarray(outs["grouped"]), atol=1e-5
+        )
+
+
+def test_stem_conv3d_s2d_matches_base(rng):
+    """Space-to-depth stem == the direct 7x7x7 stride-(1,2,2) conv."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualvgr_tpu.models.backbones.resnext3d import StemConv3D
+
+    x = jnp.asarray(rng.randn(2, 5, 16, 16, 3).astype(np.float32))
+    s2d = StemConv3D(8)
+    base = StemConv3D(8, impl="base")
+    v = base.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(s2d.apply(v, x)), np.asarray(base.apply(v, x)), atol=1e-5
+    )
+    # odd spatial dims fall back to the direct conv
+    xo = jnp.asarray(rng.randn(2, 5, 15, 15, 3).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(s2d.apply(v, xo)), np.asarray(base.apply(v, xo)), atol=1e-5
+    )
+
+
+def test_backbone_bf16_close_to_fp32(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from dualvgr_tpu.models.backbones.resnext3d import ResNeXt101_3D
+
+    m = ResNeXt101_3D(layers=(1, 1, 1, 1))
+    x = rng.randn(2, 4, 32, 32, 3).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), np.zeros((1, 4, 32, 32, 3), np.float32))
+    a = m.apply(v, x)
+    b = ResNeXt101_3D(layers=(1, 1, 1, 1), compute_dtype="bfloat16").apply(v, x)
+    assert a.dtype == b.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2)
