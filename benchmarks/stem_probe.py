@@ -138,15 +138,33 @@ def main():
             dimension_numbers=dn,
         )
 
+    # s2d + T-tap fold: materialize the 7 T-windows as channels (12 -> 84)
+    # so the conv becomes kernel (1, 4, 4) from 84 channels — attacks the
+    # thin-channel layout (12/128 lanes) the plain s2d conv still has
+    kt = jnp.concatenate(
+        [ks[t] for t in range(7)], axis=-2
+    )[None]  # (1, 4, 4, 84, 64), tap-major channel blocks
+
+    def s2d_tfold(x):
+        xf = fold_s2d(x)  # (B, 16, 56, 56, 12)
+        xp = jnp.pad(xf, ((0, 0), (3, 3), (0, 0), (0, 0), (0, 0)))
+        wins = jnp.concatenate(
+            [xp[:, t:t + 16] for t in range(7)], axis=-1
+        )  # (B, 16, 56, 56, 84)
+        return jax.lax.conv_general_dilated(
+            wins, kt.astype(x.dtype), (1, 1, 1), [(0, 0), (2, 1), (2, 1)],
+            dimension_numbers=dn,
+        )
+
     # numeric check on device before timing
     ref = base(x[:2])
-    for name, fn in (("pad8", pad8), ("s2d", s2d)):
+    for name, fn in (("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold)):
         got = fn(x[:2])
         err = float(jnp.max(jnp.abs(got - ref)))
         assert got.shape == ref.shape and err < 1e-3, (name, got.shape, ref.shape, err)
 
     out = {"clips": B}
-    for name, fn in (("base", base), ("pad8", pad8), ("s2d", s2d)):
+    for name, fn in (("base", base), ("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold)):
         out[f"{name}_ms"] = round(chain_time(fn, x, args.steps) * 1e3, 3)
         print(f"# {name}: {out[f'{name}_ms']}", flush=True)
         xb = x.astype(jnp.bfloat16)

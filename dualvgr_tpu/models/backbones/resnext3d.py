@@ -64,7 +64,11 @@ class GroupedConv3D(nn.Module):
             x, kernel = x.astype(dt), kernel.astype(dt)
         impl = self.impl
         if impl == "auto":
-            blockdiag = (c_in <= 128) or (self.stride > 1 and c_in <= 512)
+            # in-situ prefix timing showed the strided 512-channel block is
+            # FASTER grouped inside the full network (layer3 delta 2.49 ms
+            # grouped vs 3.19 ms blockdiag) even though the isolated op
+            # measured the other way — layout transitions dominate there
+            blockdiag = (c_in <= 128) or (self.stride > 1 and c_in <= 256)
             impl = "blockdiag" if blockdiag else "grouped"
         dn = ("NDHWC", "DHWIO", "NDHWC")
         if impl == "blockdiag":
