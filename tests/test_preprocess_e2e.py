@@ -147,3 +147,41 @@ def test_extracted_h5_roundtrips_through_loader(extracted):
     # question 4 references the broken video -> zero features, still trainable
     assert (batch.appearance_feat[4] == 0).all()
     loader.close()
+
+
+def test_bf16_extraction_close_to_fp32(extracted):
+    """--compute-dtype bfloat16 extraction: same schema, features within
+    ~1% relative of fp32 (the claim the CLI help makes)."""
+    root = extracted["dir"]
+    app16 = str(root / "svqa_appearance_feat_bf16.h5")
+    preprocess_features.main([
+        "--dataset", "svqa",
+        "--model", "resnet101",
+        "--annotation_file", str(root / "train_qa.json"),
+        "--video_dir", str(root / "videos") + "/",
+        "--outfile", app16,
+        "--num_clips", "2",
+        "--image_height", "48",
+        "--image_width", "48",
+        "--videos_per_batch", "3",
+        "--decode_threads", "2",
+        "--compute-dtype", "bfloat16",
+    ])
+    with h5py.File(extracted["appearance"], "r") as f:
+        ref = f["resnet_features"][()]
+        rows = {int(i): k for k, i in enumerate(f["ids"][()])}
+    with h5py.File(app16, "r") as f:
+        got = f["resnext_features" if False else "resnet_features"][()]
+        rows16 = {int(i): k for k, i in enumerate(f["ids"][()])}
+    assert got.dtype == np.float32  # h5 contract stays fp32
+    for vid in (0, 1):
+        a = ref[rows[vid]].reshape(-1, 2048)
+        b = got[rows16[vid]].reshape(-1, 2048)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+        assert rel < 0.02, rel
+        cos = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+        )
+        assert cos.min() > 0.995, cos.min()
+    # broken video still zero
+    assert (got[rows16[2]] == 0).all()
