@@ -156,15 +156,39 @@ def main():
             dimension_numbers=dn,
         )
 
+    # s2d + N-merged taps: ONE (1,4,4) conv from 12 channels into 7*64=448
+    # output channels (each 64-block = one temporal tap's spatial conv — the
+    # (1,4,4) conv shape measures 150 TFLOPS where the 7-tap 3D conv
+    # collapses to ~50), then a single fused shifted-sum over the tap blocks.
+    # Trades ~3x output-channel FLOPs-free lane occupancy for one extra
+    # (B,16,56,56,448) round-trip.
+    kn = jnp.concatenate([ks[t] for t in range(7)], axis=-1)[None]  # (1,4,4,12,448)
+
+    def s2d_nmerge(x):
+        xf = fold_s2d(x)
+        y = jax.lax.conv_general_dilated(
+            xf, kn.astype(x.dtype), (1, 1, 1), [(0, 0), (2, 1), (2, 1)],
+            dimension_numbers=dn,
+        )  # (B, 16, 56, 56, 448)
+        out = None
+        for tap in range(7):
+            block = y[..., tap * 64 : (tap + 1) * 64]
+            shift = tap - 3
+            sl = block[:, max(shift, 0) : 16 + min(shift, 0)]
+            pads = ((0, 0), (max(-shift, 0), max(shift, 0)), (0, 0), (0, 0), (0, 0))
+            term = jnp.pad(sl, pads)
+            out = term if out is None else out + term
+        return out
+
     # numeric check on device before timing
     ref = base(x[:2])
-    for name, fn in (("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold)):
+    for name, fn in (("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold), ("s2d_nmerge", s2d_nmerge)):
         got = fn(x[:2])
         err = float(jnp.max(jnp.abs(got - ref)))
         assert got.shape == ref.shape and err < 1e-3, (name, got.shape, ref.shape, err)
 
     out = {"clips": B}
-    for name, fn in (("base", base), ("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold)):
+    for name, fn in (("base", base), ("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold), ("s2d_nmerge", s2d_nmerge)):
         out[f"{name}_ms"] = round(chain_time(fn, x, args.steps) * 1e3, 3)
         print(f"# {name}: {out[f'{name}_ms']}", flush=True)
         xb = x.astype(jnp.bfloat16)

@@ -115,10 +115,13 @@ def default_config() -> Config:
             "log_every": 1,
             # write a jax.profiler trace of training steps here ('' = off).
             "profile_dir": "",
-            # dropout PRNG: 'threefry2x32' (JAX default, stable streams) or
-            # 'rbg' (hardware RNG — measured 12% faster train steps; the
-            # dropout distribution is identical, only the stream differs).
-            "prng_impl": "threefry2x32",
+            # dropout PRNG: "auto" (default) = the hardware 'rbg' generator
+            # on TPU (measured ~12-20% faster train steps; identical dropout
+            # distribution, different stream) and 'threefry2x32' (JAX's
+            # portable default) elsewhere — so the flagship CLI delivers the
+            # benched train numbers with no hand-editing. YAMLs may pin
+            # either implementation explicitly (resolved_prng_impl).
+            "prng_impl": "auto",
         },
     })
     return c
@@ -178,6 +181,19 @@ def resolved_use_pallas(cfg: Config) -> bool:
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+def resolved_prng_impl(cfg: Config) -> str:
+    """Resolve cfg.tpu.prng_impl: an explicit implementation name wins;
+    "auto" = the hardware 'rbg' generator on TPU, 'threefry2x32' elsewhere
+    (mirrors resolved_use_pallas so TPU product defaults match the benched
+    configuration)."""
+    v = cfg.tpu.get("prng_impl", "auto")
+    if v != "auto":
+        return v
+    import jax
+
+    return "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
 
 
 def model_runtime_kwargs(cfg: Config) -> dict:

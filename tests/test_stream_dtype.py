@@ -152,3 +152,30 @@ def test_yaml_bool_overrides_auto(tmp_path):
     p.write_text("tpu:\n  use_pallas: false\n")
     cfg = cfg_from_file(str(p))
     assert cfg.tpu.use_pallas is False
+
+
+def test_prng_impl_auto_resolution(monkeypatch, tmp_path):
+    """tpu.prng_impl "auto" = hardware rbg on TPU / threefry elsewhere, so
+    the flagship CLI's dropout PRNG matches the benched configuration
+    (bench.py defaults BENCH_PRNG=rbg); explicit YAML pins win."""
+    import jax
+
+    from dualvgr_tpu.config import cfg_from_file, default_config, resolved_prng_impl
+
+    cfg = default_config()
+    assert cfg.tpu.prng_impl == "auto"
+    assert resolved_prng_impl(cfg) == (
+        "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolved_prng_impl(cfg) == "rbg"
+    # explicit pin wins over auto, both ways
+    p = tmp_path / "c.yml"
+    p.write_text("tpu:\n  prng_impl: threefry2x32\n")
+    assert resolved_prng_impl(cfg_from_file(str(p))) == "threefry2x32"
+    p.write_text("tpu:\n  prng_impl: rbg\n")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resolved_prng_impl(cfg_from_file(str(p))) == "rbg"
+    # the typed key the drivers build carries the resolved impl
+    key = jax.random.key(7, impl=resolved_prng_impl(default_config()))
+    assert str(jax.random.key_impl(key)) == resolved_prng_impl(default_config())

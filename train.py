@@ -26,6 +26,7 @@ import jax
 import numpy as np
 
 from dualvgr_tpu.config import cfg_from_file, model_runtime_kwargs, resolve_dataset_paths
+from dualvgr_tpu import config as config_mod
 from dualvgr_tpu.data import VideoQADataLoader
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib, validate_lib
@@ -113,7 +114,7 @@ def train(cfg):
     example = train_loader.example_batch(1)
     # typed key carries the impl through splits; the checkpointer stores its
     # raw key_data (utils/checkpoint.py)
-    rng = jax.random.key(cfg.seed, impl=cfg.tpu.get("prng_impl", "threefry2x32"))
+    rng = jax.random.key(cfg.seed, impl=config_mod.resolved_prng_impl(cfg))
     state = train_lib.create_train_state(model, rng, example, optimizer)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logging.info("num of params: %d", n_params)

@@ -23,6 +23,7 @@ import jax
 import numpy as np
 
 from dualvgr_tpu.config import cfg_from_file, model_runtime_kwargs, resolve_dataset_paths
+from dualvgr_tpu import config as config_mod
 from dualvgr_tpu.data import VideoQADataLoader
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib, validate_lib
@@ -81,7 +82,7 @@ def main(argv=None):
     # metadata-only example shapes (no batch pull, no producer thread)
     example = test_loader.example_batch(1)
     optimizer = train_lib.make_optimizer(cfg.train.lr, len(test_loader))
-    state = train_lib.create_train_state(model, jax.random.key(cfg.seed, impl=cfg.tpu.get("prng_impl", "threefry2x32")), example, optimizer)
+    state = train_lib.create_train_state(model, jax.random.key(cfg.seed, impl=config_mod.resolved_prng_impl(cfg)), example, optimizer)
     _, state = restore_checkpoint(ckpt_dir, state)
 
     mesh = data_mesh(cfg.tpu.mesh_axis)
