@@ -115,6 +115,11 @@ def default_config() -> Config:
             "log_every": 1,
             # write a jax.profiler trace of training steps here ('' = off).
             "profile_dir": "",
+            # tensor-parallel degree: 1 (default) = pure data parallelism.
+            # k > 1 lays parameters/Adam moments out column-sharded over a
+            # (devices/k) x k (data, model) mesh (parallel/tp.py) — GSPMD
+            # inserts the collectives; forces the XLA (non-Pallas) path.
+            "tensor_parallel": 1,
             # dropout PRNG: "auto" (default) = the hardware 'rbg' generator
             # on TPU (measured ~12-20% faster train steps; identical dropout
             # distribution, different stream) and 'threefry2x32' (JAX's
@@ -199,9 +204,12 @@ def resolved_prng_impl(cfg: Config) -> str:
 def model_runtime_kwargs(cfg: Config) -> dict:
     """The cfg.tpu knobs that are DualVGR constructor args (static module
     attributes, so jit caches key on them): use_pallas + compute_dtype.
-    All three CLI drivers build their model with these."""
+    All three CLI drivers build their model with these. Under tensor
+    parallelism the Pallas kernels are disabled: a pallas_call is opaque
+    to the SPMD partitioner, while the XLA path partitions cleanly."""
+    tp = int(cfg.tpu.get("tensor_parallel", 1))
     return {
-        "use_pallas": resolved_use_pallas(cfg),
+        "use_pallas": resolved_use_pallas(cfg) and tp <= 1,
         "compute_dtype": cfg.tpu.compute_dtype,
     }
 

@@ -7,3 +7,10 @@ from dualvgr_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from dualvgr_tpu.parallel.tp import (  # noqa: F401
+    dp_tp_mesh,
+    mesh_for,
+    place_state,
+    shard_state_tp,
+    tp_sharded_leaf_count,
+)

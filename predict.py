@@ -28,7 +28,7 @@ from dualvgr_tpu.config import cfg_from_file, model_runtime_kwargs, resolve_data
 from dualvgr_tpu.data.vocab import load_vocab
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib
-from dualvgr_tpu.parallel import data_mesh, replicate
+from dualvgr_tpu.parallel import mesh_for, place_state
 from dualvgr_tpu.utils.checkpoint import load_model_kwargs, restore_checkpoint
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -64,7 +64,7 @@ def main(argv=None):
     cfg = resolve_dataset_paths(cfg)
     vocab = load_vocab(cfg.dataset.vocab_json)
 
-    mesh = data_mesh(cfg.tpu.mesh_axis)
+    mesh = mesh_for(cfg)
     num_clips = cfg.train.num_of_nodes  # clips == graph nodes (SURVEY section 2.1)
 
     # ---- stage 1: video -> clip features, straight through the backbones
@@ -127,7 +127,7 @@ def main(argv=None):
         (app_feats[:1], mot_feats[:1], questions[:1], qlen[:1]), optimizer,
     )
     _, state = restore_checkpoint(ckpt_dir, state)
-    state = replicate(state, mesh)
+    state = place_state(state, mesh)
 
     eval_fn = train_lib.jit_eval_step(model)
     logits = np.asarray(eval_fn(state, (app_feats, mot_feats, questions, qlen)))

@@ -1,0 +1,136 @@
+"""Tensor parallelism (parallel/tp.py): correctness on the virtual mesh.
+
+The contract: placing the train state under the shape-rule TP shardings on
+a (data, model) mesh changes WHERE the math runs (GSPMD splits every wide
+matmul column-wise and inserts the collectives) but not WHAT it computes —
+train loss, updated parameters, and eval logits must match the pure-DP
+run on the same global batch to collective-reordering tolerance.
+"""
+
+import numpy as np
+import pytest
+
+
+def _tiny_setup():
+    import jax
+
+    from dualvgr_tpu import train_lib
+    from dualvgr_tpu.models import DualVGR
+
+    model = DualVGR(
+        vision_dim=24, module_dim=16, word_dim=8, question_vocab_size=30,
+        num_answers=16, num_of_nodes=4, graph_layers=1, unit_layers=1,
+    )
+    rng = np.random.RandomState(11)
+    b, c, f, t = 8, 4, 3, 5
+    app = rng.randn(b, c, f, 24).astype(np.float32)
+    mot = rng.randn(b, c, 24).astype(np.float32)
+    q = rng.randint(1, 30, (b, t)).astype(np.int32)
+    qlen = rng.randint(1, t + 1, (b,)).astype(np.int32)
+    for i in range(b):
+        q[i, qlen[i]:] = 0
+    ans = rng.randint(0, 16, (b,)).astype(np.int32)
+    valid = np.ones((b,), np.float32)
+    opt = train_lib.make_optimizer(1e-3, 10)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(666), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+    return model, opt, state, (app, mot, q, qlen, ans, valid)
+
+
+def test_leaf_spec_rule():
+    from jax.sharding import PartitionSpec as P
+
+    from dualvgr_tpu.parallel.tp import leaf_spec
+
+    # last axis divisible and wide enough -> column-sharded
+    assert leaf_spec((768, 4000), 4) == P(None, "model")
+    assert leaf_spec((2048, 1536), 2) == P(None, "model")
+    assert leaf_spec((64,), 4) == P("model")
+    # indivisible (GloVe word_dim on tp=8), too small, scalar -> replicated
+    assert leaf_spec((8000, 300), 8) == P()
+    assert leaf_spec((4,), 4) == P()
+    assert leaf_spec((), 4) == P()
+    assert leaf_spec((16, 20), 1) == P()
+
+
+@pytest.mark.parametrize("dp,tp", [(4, 2), (2, 4)])
+def test_tp_matches_dp(dp, tp):
+    """One train step + one eval step: DP-8 vs dp x tp on the same global
+    batch. Asserts real sharding happened (leaves split over 'model') and
+    numeric agreement."""
+    import jax
+
+    from dualvgr_tpu import train_lib
+    from dualvgr_tpu.parallel import (
+        data_mesh,
+        dp_tp_mesh,
+        replicate,
+        shard_batch,
+        shard_state_tp,
+        tp_sharded_leaf_count,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model, opt, state, batch = _tiny_setup()
+    step = train_lib.jit_train_step(model, opt, alpha=1.0, beta=1e-8, donate=False)
+    eval_fn = train_lib.jit_eval_step(model)
+
+    mesh_dp = data_mesh(devices=jax.devices()[:8])
+    st = replicate(state, mesh_dp)
+    new_dp, m_dp = step(st, shard_batch(batch, mesh_dp))
+    logits_dp = eval_fn(new_dp, shard_batch(batch[:4], mesh_dp))
+
+    mesh_tp = dp_tp_mesh(dp, tp)
+    st_tp = shard_state_tp(state, mesh_tp)
+    assert tp_sharded_leaf_count(st_tp.params, mesh_tp) > 0
+    # Adam moments follow their parameters (same shapes, same rule)
+    assert tp_sharded_leaf_count(st_tp.opt_state, mesh_tp) > 0
+    new_tp, m_tp = step(st_tp, shard_batch(batch, mesh_tp))
+    logits_tp = eval_fn(new_tp, shard_batch(batch[:4], mesh_tp))
+
+    np.testing.assert_allclose(
+        float(m_tp["loss"]), float(m_dp["loss"]), rtol=2e-6
+    )
+    assert float(m_tp["correct"]) == float(m_dp["correct"])
+    # updated params agree leaf-by-leaf (collective-order tolerance)
+    flat_dp = jax.tree_util.tree_leaves_with_path(new_dp.params)
+    flat_tp = jax.tree_util.tree_leaves(new_tp.params)
+    for (path, a), b_ in zip(flat_dp, flat_tp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_dp), atol=1e-5
+    )
+
+
+def test_mesh_for_and_place_state():
+    """cfg.tpu.tensor_parallel drives mesh construction + state placement;
+    tp > 1 also forces the XLA (non-Pallas) model path."""
+    import jax
+
+    from dualvgr_tpu.config import default_config, model_runtime_kwargs
+    from dualvgr_tpu.parallel import mesh_for, place_state, tp_sharded_leaf_count
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = default_config()
+    mesh1 = mesh_for(cfg)
+    assert mesh1.axis_names == (cfg.tpu.mesh_axis,)
+
+    cfg.tpu.tensor_parallel = 2
+    mesh2 = mesh_for(cfg)
+    assert dict(mesh2.shape) == {"data": len(jax.devices()) // 2, "model": 2}
+    assert model_runtime_kwargs(cfg)["use_pallas"] is False
+
+    _, _, state, _ = _tiny_setup()
+    placed = place_state(state, mesh2)
+    assert tp_sharded_leaf_count(placed.params, mesh2) > 0
+    assert tp_sharded_leaf_count(place_state(state, mesh1).params, mesh1) == 0
+
+    cfg.tpu.tensor_parallel = 3
+    with pytest.raises(ValueError):
+        mesh_for(cfg)

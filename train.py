@@ -30,7 +30,7 @@ from dualvgr_tpu import config as config_mod
 from dualvgr_tpu.data import VideoQADataLoader
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib, validate_lib
-from dualvgr_tpu.parallel import data_mesh, prefetch_to_device, replicate, shard_batch
+from dualvgr_tpu.parallel import mesh_for, place_state, prefetch_to_device, shard_batch
 from dualvgr_tpu.utils import setup_logging, train_ticker
 from dualvgr_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 
@@ -101,8 +101,8 @@ def train(cfg):
 
     if maybe_initialize_distributed():
         logging.info("jax.distributed initialized (multi-host)")
-    mesh = data_mesh(cfg.tpu.mesh_axis)
-    logging.info("device mesh: %s over %s", mesh.shape, jax.devices()[0].platform)
+    mesh = mesh_for(cfg)
+    logging.info("device mesh: %s over %s", dict(mesh.shape), jax.devices()[0].platform)
     model = build_model(cfg, train_loader.vocab)
 
     steps_per_epoch = len(train_loader)
@@ -134,7 +134,7 @@ def train(cfg):
             )
         epoch, state = restore_checkpoint(ckpt_dir, state)
         start_epoch = epoch + 1
-    state = replicate(state, mesh)
+    state = place_state(state, mesh)
 
     step_fn = train_lib.jit_train_step(model, optimizer, cfg.alpha, cfg.beta)
     eval_fn = train_lib.jit_pred_step(model)

@@ -27,7 +27,7 @@ from dualvgr_tpu import config as config_mod
 from dualvgr_tpu.data import VideoQADataLoader
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib, validate_lib
-from dualvgr_tpu.parallel import data_mesh, replicate
+from dualvgr_tpu.parallel import mesh_for, place_state
 from dualvgr_tpu.utils import colored, setup_logging
 from dualvgr_tpu.utils.checkpoint import load_model_kwargs, restore_checkpoint
 
@@ -85,8 +85,8 @@ def main(argv=None):
     state = train_lib.create_train_state(model, jax.random.key(cfg.seed, impl=config_mod.resolved_prng_impl(cfg)), example, optimizer)
     _, state = restore_checkpoint(ckpt_dir, state)
 
-    mesh = data_mesh(cfg.tpu.mesh_axis)
-    state = replicate(state, mesh)
+    mesh = mesh_for(cfg)
+    state = place_state(state, mesh)
     eval_fn = train_lib.jit_pred_step(model)
 
     cat_names = validate_lib.category_names(cfg.dataset.name)
