@@ -1,0 +1,126 @@
+"""Serving latency/throughput curve: eval step vs batch size on one chip.
+
+Production serving cares about the latency-throughput tradeoff, not just
+peak batch-256 throughput: a request batcher needs to know how much
+throughput each latency budget buys. This sweeps the jitted eval forward
+(Pallas kernels + optional bf16 streaming — the serving configuration)
+over batch sizes and reports per-batch latency and QA/s.
+
+Methodology: dependency-chained ``lax.fori_loop`` per batch size (plain
+``block_until_ready`` does not block under tunneled TPU platforms), the
+chain perturbing the visual inputs + embedding table so no input branch is
+hoisted (see bench.py). min over repeats; the 1-iteration run subtracts
+launch/fetch overhead, so numbers are DEVICE step time (a real TPU VM adds
+PCIe/DMA input transfer, overlapped by the prefetch pipeline).
+
+Run: python benchmarks/serving_latency.py [--batches 8,32,64,128,256,512]
+     [--compute-dtype bfloat16] [--steps 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="8,32,64,128,256,512")
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--repeats", type=int, default=4)
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dualvgr_tpu.models import DualVGR
+
+    vocab_size, num_answers, t = 8000, 4000, 24
+    model = DualVGR(
+        vision_dim=2048, module_dim=768, word_dim=300,
+        question_vocab_size=vocab_size, num_answers=num_answers,
+        num_of_nodes=16, graph_layers=1, unit_layers=1,
+        use_pallas=not args.no_pallas,
+        compute_dtype=args.compute_dtype,
+    )
+    rng = np.random.RandomState(0)
+    kapp, kmot = jax.random.split(jax.random.PRNGKey(0))
+    bmax = max(int(b) for b in args.batches.split(","))
+    app = jax.random.normal(kapp, (bmax, 16, 16, 2048), jnp.float32)
+    mot = jax.random.normal(kmot, (bmax, 16, 2048), jnp.float32)
+    q = rng.randint(1, vocab_size, (bmax, t)).astype(np.int32)
+    qlen = rng.randint(4, t + 1, (bmax,)).astype(np.int32)
+    for i in range(bmax):
+        q[i, qlen[i]:] = 0
+    q, qlen = jnp.asarray(q), jnp.asarray(qlen)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(666), "dropout": jax.random.PRNGKey(0)},
+        app[:1], mot[:1], q[:1], qlen[:1], train=False,
+    )
+
+    def _perturbed(variables, eps):
+        p = dict(variables["params"])
+        li = dict(p["linguistic_input_unit"])
+        li["encoder_embed"] = {"embedding": li["encoder_embed"]["embedding"] + eps}
+        p["linguistic_input_unit"] = li
+        return {**variables, "params": p}
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def chained(variables, a0, m0, qq, ql, n):
+        def body(i, carry):
+            acc, eps = carry
+            v = _perturbed(variables, eps)
+            logits = model.apply(v, a0 + eps, m0 + eps, qq, ql, train=False).logits
+            s = logits.sum()
+            return acc + s, s * 1e-30
+
+        acc, _ = jax.lax.fori_loop(
+            0, n, body, (jnp.zeros((), "float32"), jnp.zeros((), "float32"))
+        )
+        return acc
+
+    rows = []
+    for b in (int(x) for x in args.batches.split(",")):
+        a, m, qq, ql = app[:b], mot[:b], q[:b], qlen[:b]
+        float(chained(variables, a, m, qq, ql, 1))
+        float(chained(variables, a, m, qq, ql, args.steps + 1))
+        t1s, tns = [], []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            float(chained(variables, a, m, qq, ql, 1))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(chained(variables, a, m, qq, ql, args.steps + 1))
+            tns.append(time.perf_counter() - t0)
+        ms = max(min(tns) - min(t1s), 0.0) / args.steps * 1e3
+        row = {"batch": b, "ms_per_batch": round(ms, 3),
+               "qa_per_sec": round(b / ms * 1e3, 1)}
+        rows.append(row)
+        print(f"# batch {b}: {row['ms_per_batch']} ms, {row['qa_per_sec']} QA/s",
+              flush=True)
+    print(json.dumps({"compute_dtype": args.compute_dtype,
+                      "pallas": not args.no_pallas, "sweep": rows}))
+
+
+if __name__ == "__main__":
+    main()

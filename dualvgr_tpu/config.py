@@ -120,6 +120,9 @@ def default_config() -> Config:
             # (devices/k) x k (data, model) mesh (parallel/tp.py) — GSPMD
             # inserts the collectives; forces the XLA (non-Pallas) path.
             "tensor_parallel": 1,
+            # ZeRO stage 1: shard Adam moments over the data axis (divides
+            # the optimizer-memory term by the DP degree; parallel/tp.py).
+            "zero_opt": False,
             # dropout PRNG: "auto" (default) = the hardware 'rbg' generator
             # on TPU (measured ~12-20% faster train steps; identical dropout
             # distribution, different stream) and 'threefry2x32' (JAX's

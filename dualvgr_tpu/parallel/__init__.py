@@ -11,6 +11,7 @@ from dualvgr_tpu.parallel.tp import (  # noqa: F401
     dp_tp_mesh,
     mesh_for,
     place_state,
+    shard_opt_state_zero,
     shard_state_tp,
     tp_sharded_leaf_count,
 )

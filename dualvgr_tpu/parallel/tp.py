@@ -81,6 +81,32 @@ def leaf_spec(shape, n_model: int, min_shard: int = 8) -> P:
     return P()
 
 
+def zero_leaf_spec(
+    shape, n_data: int, n_model: int, data_axis: str = DATA_AXIS, min_shard: int = 8
+) -> P:
+    """ZeRO-style PartitionSpec for an OPTIMIZER-STATE leaf: the TP spec of
+    its parameter, plus the first remaining axis that divides evenly over
+    the data axis. Adam's mu/nu are pure elementwise state — sharding them
+    over data costs nothing in the update math (XLA reshards the incoming
+    gradient, updates locally, and gathers the applied update), and divides
+    the largest optimizer-memory term by the DP degree (ZeRO stage 1).
+    """
+    base = list(leaf_spec(shape, n_model, min_shard))
+    base += [None] * (len(shape) - len(base))
+    if n_data > 1:
+        for i, dim in enumerate(shape):
+            if base[i] is None and dim % n_data == 0 and dim // n_data >= 1:
+                base[i] = data_axis
+                break
+    while base and base[-1] is None:
+        base.pop()
+    return P(*base)
+
+
+def _is_key(x) -> bool:
+    return jax.dtypes.issubdtype(getattr(x, "dtype", np.float32), jax.dtypes.prng_key)
+
+
 def shard_state_tp(tree, mesh: Mesh):
     """Place a train-state pytree on a (data, model) mesh, TP-sharded.
 
@@ -94,13 +120,28 @@ def shard_state_tp(tree, mesh: Mesh):
 
     def place(x):
         shape = getattr(x, "shape", ())
-        if jax.dtypes.issubdtype(getattr(x, "dtype", np.float32), jax.dtypes.prng_key):
-            spec = P()
-        else:
-            spec = leaf_spec(shape, n_model)
+        spec = P() if _is_key(x) else leaf_spec(shape, n_model)
         return _put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, tree)
+
+
+def shard_opt_state_zero(opt_state, mesh: Mesh, data_axis: str = DATA_AXIS):
+    """Re-place an optimizer-state pytree with ZeRO sharding over the data
+    axis (stacking on top of any model-axis sharding the mesh carries)."""
+    n_data = mesh.shape.get(data_axis, 1)
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+
+    def place(x):
+        shape = getattr(x, "shape", ())
+        spec = (
+            P()
+            if _is_key(x) or not shape
+            else zero_leaf_spec(shape, n_data, n_model, data_axis)
+        )
+        return _put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, opt_state)
 
 
 def mesh_for(cfg) -> Mesh:
@@ -121,14 +162,24 @@ def mesh_for(cfg) -> Mesh:
     return dp_tp_mesh(n // tp, tp, data_axis=cfg.tpu.mesh_axis)
 
 
-def place_state(state, mesh: Mesh):
+def place_state(state, mesh: Mesh, *, zero_opt: bool = False):
     """Put the train state on ``mesh`` the way its shape demands:
-    TP-sharded when the mesh has a model axis, replicated otherwise."""
+    TP-sharded when the mesh has a model axis, replicated otherwise.
+    ``zero_opt`` additionally shards the optimizer state over the data
+    axis (ZeRO stage 1) — cfg.tpu.zero_opt."""
     from dualvgr_tpu.parallel.mesh import replicate
 
     if MODEL_AXIS in mesh.axis_names:
-        return shard_state_tp(state, mesh)
-    return replicate(state, mesh)
+        state = shard_state_tp(state, mesh)
+    else:
+        state = replicate(state, mesh)
+    if zero_opt and hasattr(state, "opt_state"):
+        state = state.replace(
+            opt_state=shard_opt_state_zero(
+                state.opt_state, mesh, data_axis=mesh.axis_names[0]
+            )
+        )
+    return state
 
 
 def tp_sharded_leaf_count(tree, mesh: Mesh) -> int:

@@ -134,7 +134,7 @@ def train(cfg):
             )
         epoch, state = restore_checkpoint(ckpt_dir, state)
         start_epoch = epoch + 1
-    state = place_state(state, mesh)
+    state = place_state(state, mesh, zero_opt=cfg.tpu.get("zero_opt", False))
 
     step_fn = train_lib.jit_train_step(model, optimizer, cfg.alpha, cfg.beta)
     eval_fn = train_lib.jit_pred_step(model)
