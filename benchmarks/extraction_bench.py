@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--frames", type=int, default=256, help="appearance batch (frames)")
     ap.add_argument("--clips", type=int, default=32, help="motion batch (16-frame clips)")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument(
+        "--stem-ab", action="store_true",
+        help="also time the motion net with stem_impl s2d vs t2d, interleaved",
+    )
     args = ap.parse_args()
 
     import jax
@@ -165,6 +169,18 @@ def main():
     v_mot = out["resnext3d_videos_per_sec_16clips"]
     out["videos_per_sec_both_features"] = round(1.0 / (1.0 / v_app + 1.0 / v_mot), 2)
     out["peak_tflops"] = PEAK_TFLOPS
+
+    if args.stem_ab:
+        # interleaved in-network stem A/B (s2d vs t2d), same process — the
+        # only drift-robust comparison through the tunnel (between-process
+        # variance ~±5-8% swamps single-digit stem deltas)
+        for impl in ("s2d", "t2d"):
+            for dt, tag in (("float32", ""), ("bfloat16", "_bf16")):
+                m = ResNeXt101_3D(compute_dtype=dt, stem_impl=impl)
+                per = chain_time(lambda x, m=m: m.apply(mot_vars, x), clips, args.steps)
+                out[f"stem_{impl}{tag}_clips_per_sec"] = round(args.clips / per, 1)
+        print(json.dumps({k: v for k, v in out.items() if k.startswith("stem_")}))
+
     print(json.dumps(out))
 
 

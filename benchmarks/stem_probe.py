@@ -180,15 +180,88 @@ def main():
             out = term if out is None else out + term
         return out
 
+    # s2d + TIME-to-depth: fold padded-T pairs into channels (12 -> 24) and
+    # output-t pairs into output channels (64 -> 128). The 7 T-taps become 4
+    # folded taps (kt = 2*ft + pt - q; one invalid slot per output parity),
+    # so the conv is (4, 4, 4) from 24 to 128 channels: K = 4*4*4*24 = 1536
+    # (12 exact 128-lane tiles), N = 128 (exact), at 8/7 the FLOPs — attacks
+    # the sharp diagnosis that XLA collapses once a 7-tap third dim exists
+    # while the same positions as (1, 4, 4) run at 150 TFLOPS.
+    kt2 = jnp.zeros((4, 4, 4, 2, 12, 2, 64), ks.dtype)
+    for q in range(2):
+        for ft in range(4):
+            for pt in range(2):
+                ktap = 2 * ft + pt - q
+                if 0 <= ktap <= 6:
+                    kt2 = kt2.at[ft, :, :, pt, :, q, :].set(ks[ktap])
+    kt2 = kt2.reshape(4, 4, 4, 24, 128)
+
+    def t2d(x):
+        xf = fold_s2d(x)  # (B, 16, 56, 56, 12)
+        b = xf.shape[0]
+        xp = jnp.pad(xf, ((0, 0), (3, 3), (0, 0), (0, 0), (0, 0)))
+        x2 = xp.reshape(b, 11, 2, 56, 56, 12).transpose(0, 1, 3, 4, 2, 5)
+        x2 = x2.reshape(b, 11, 56, 56, 24)
+        y = jax.lax.conv_general_dilated(
+            x2, kt2.astype(x.dtype), (1, 1, 1), [(0, 0), (2, 1), (2, 1)],
+            dimension_numbers=dn,
+        )  # (B, 8, 56, 56, 128)
+        y = y.reshape(b, 8, 56, 56, 2, 64).transpose(0, 1, 4, 2, 3, 5)
+        return y.reshape(b, 16, 56, 56, 64)
+
+    # same folding, but the 4 folded-T taps as 4 accumulated (1, 4, 4) convs
+    # (the PROVEN-fast kernel shape) — trades 3 extra output round-trips for
+    # 2D-conv lowering certainty
+    def t2d_sum4(x):
+        xf = fold_s2d(x)
+        b = xf.shape[0]
+        xp = jnp.pad(xf, ((0, 0), (3, 3), (0, 0), (0, 0), (0, 0)))
+        x2 = xp.reshape(b, 11, 2, 56, 56, 12).transpose(0, 1, 3, 4, 2, 5)
+        x2 = x2.reshape(b, 11, 56, 56, 24)
+        y = None
+        for ft in range(4):
+            term = jax.lax.conv_general_dilated(
+                x2[:, ft:ft + 8], kt2[ft:ft + 1].astype(x.dtype), (1, 1, 1),
+                [(0, 0), (2, 1), (2, 1)], dimension_numbers=dn,
+            )
+            y = term if y is None else y + term
+        y = y.reshape(b, 8, 56, 56, 2, 64).transpose(0, 1, 4, 2, 3, 5)
+        return y.reshape(b, 16, 56, 56, 64)
+
+    # fold T by 4 instead: (2, 4, 4) conv, 48 -> 256 channels, K = 2304,
+    # at 1.5x t2d's FLOPs (kernel density 7/12 vs 7/8) — probes whether
+    # wider channels buy more than the padding costs
+    kt4 = jnp.zeros((3, 4, 4, 4, 12, 4, 64), ks.dtype)
+    for q in range(4):
+        for ft in range(3):
+            for pt in range(4):
+                ktap = 4 * ft + pt - q
+                if 0 <= ktap <= 6:
+                    kt4 = kt4.at[ft, :, :, pt, :, q, :].set(ks[ktap])
+    kt4 = kt4.reshape(3, 4, 4, 48, 256)
+
+    def t4d(x):
+        xf = fold_s2d(x)
+        b = xf.shape[0]
+        xp = jnp.pad(xf, ((0, 0), (3, 5), (0, 0), (0, 0), (0, 0)))  # 24 = 6 cells
+        x4 = xp.reshape(b, 6, 4, 56, 56, 12).transpose(0, 1, 3, 4, 2, 5)
+        x4 = x4.reshape(b, 6, 56, 56, 48)
+        y = jax.lax.conv_general_dilated(
+            x4, kt4.astype(x.dtype), (1, 1, 1), [(0, 0), (2, 1), (2, 1)],
+            dimension_numbers=dn,
+        )  # (B, 4, 56, 56, 256)
+        y = y.reshape(b, 4, 56, 56, 4, 64).transpose(0, 1, 4, 2, 3, 5)
+        return y.reshape(b, 16, 56, 56, 64)
+
     # numeric check on device before timing
     ref = base(x[:2])
-    for name, fn in (("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold), ("s2d_nmerge", s2d_nmerge)):
+    for name, fn in (("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold), ("s2d_nmerge", s2d_nmerge), ("t2d", t2d), ("t2d_sum4", t2d_sum4), ("t4d", t4d)):
         got = fn(x[:2])
         err = float(jnp.max(jnp.abs(got - ref)))
         assert got.shape == ref.shape and err < 1e-3, (name, got.shape, ref.shape, err)
 
     out = {"clips": B}
-    for name, fn in (("base", base), ("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold), ("s2d_nmerge", s2d_nmerge)):
+    for name, fn in (("base", base), ("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold), ("s2d_nmerge", s2d_nmerge), ("t2d", t2d), ("t2d_sum4", t2d_sum4), ("t4d", t4d)):
         out[f"{name}_ms"] = round(chain_time(fn, x, args.steps) * 1e3, 3)
         print(f"# {name}: {out[f'{name}_ms']}", flush=True)
         xb = x.astype(jnp.bfloat16)

@@ -92,18 +92,39 @@ class StemConv3D(nn.Module):
     """The 7x7x7 stride-(1,2,2) stem conv from 3 input channels.
 
     Parameter shape stays (7, 7, 7, 3, features) (checkpoint-port
-    compatible) but the forward runs SPACE-TO-DEPTH: the HxW stride-2 is
-    folded into channels ((..., H, W, 3) -> (..., H/2, W/2, 12)) and the
-    7x7 spatial taps become 4x4 on the folded grid (tap dh lives at folded
-    (R, pr) with dh = 2R + pr - 1; the one invalid slot is zero). Exact to
-    fp round-off, and measured 27% faster than the direct conv on TPU
-    (C_in=3 fills 3/128 MXU lanes; benchmarks/stem_probe.py: 9.09 ms ->
-    6.60 ms at batch 32). Odd H/W falls back to the direct conv.
+    compatible) but the forward folds strides/taps into channels to fill
+    the 128-lane MXU (C_in=3 fills 3/128 lanes directly):
+
+    * SPACE-TO-DEPTH: the HxW stride-2 folds into channels ((..., H, W, 3)
+      -> (..., H/2, W/2, 12)); the 7x7 spatial taps become 4x4 on the
+      folded grid (tap dh lives at folded (R, pr) with dh = 2R + pr - 1;
+      the one invalid slot is zero). Measured 9.09 -> 6.60 ms at batch 32
+      (benchmarks/stem_probe.py).
+    * TIME-TO-DEPTH on top (impl="t2d", NOT picked by "auto"): padded
+      input-T pairs fold into channels (12 -> 24) and output-T pairs into
+      output channels (F -> 2F), so the 7 T-taps become 4 folded taps
+      (kt = 2*ft + pt - q; one invalid slot per output parity q). The conv
+      is then (4, 4, 4) from 24 channels: K = 4*4*4*24 = 1536 = 12 exact
+      128-lane tiles and N = 2F = 128 exact, at 8/7 the FLOPs — it
+      sidesteps the measured XLA collapse on 7-tap 3D convs and wins the
+      ISOLATED stem timing (6.60 -> 5.40 ms fp32 / 4.65 bf16 at batch 32,
+      benchmarks/stem_probe.py) but LOSES inside the full network at the
+      production batch (interleaved same-process A/B at batch 128,
+      benchmarks/extraction_bench.py --stem-ab: 2,149 -> 1,921 clips/s
+      fp32, 2,935 -> 2,767 bf16) — the output's (t-pair, channel-parity)
+      un-interleave transpose breaks the stem->bn->relu->maxpool fusion
+      that the s2d layout gets for free. "auto" therefore stays on s2d;
+      t2d remains selectable and parity-tested.
+
+    All foldings are exact to fp round-off (stem_probe verifies against
+    the direct conv on device; tests/test_backbones.py on CPU). impl
+    "auto" picks s2d when H, W are even, falling back to the direct conv
+    otherwise.
     """
 
     features: int = 64
     compute_dtype: str = "float32"
-    impl: str = "auto"  # "auto" (s2d when H, W even) | "base"
+    impl: str = "auto"  # "auto" | "t2d" | "s2d" | "base"
 
     @nn.compact
     def __call__(self, x):
@@ -114,8 +135,14 @@ class StemConv3D(nn.Module):
             dt = jnp.dtype(self.compute_dtype)
             x, kernel = x.astype(dt), kernel.astype(dt)
         b, t, h, w, c = x.shape
+        f = self.features
         dn = ("NDHWC", "DHWIO", "NDHWC")
-        if self.impl == "base" or h % 2 or w % 2:
+        impl = self.impl
+        if impl == "auto":
+            impl = "base" if (h % 2 or w % 2) else "s2d"
+        if impl == "t2d" and t % 2:
+            impl = "s2d"  # T-pair folding needs even T
+        if impl == "base":
             return jax.lax.conv_general_dilated(
                 x, kernel, (1, 2, 2), [(3, 3)] * 3, dimension_numbers=dn
             )
@@ -126,10 +153,33 @@ class StemConv3D(nn.Module):
         kp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
         idx = jnp.arange(8).reshape(4, 2)  # [R, pr] -> dh + 1
         kd = kp[:, idx][:, :, :, idx]  # (7, 4, 2, 4, 2, 3, F)
-        kd = kd.transpose(0, 1, 3, 2, 4, 5, 6).reshape(7, 4, 4, 4 * c, self.features)
-        return jax.lax.conv_general_dilated(
-            xf, kd, (1, 1, 1), [(3, 3), (2, 1), (2, 1)], dimension_numbers=dn
+        kd = kd.transpose(0, 1, 3, 2, 4, 5, 6).reshape(7, 4, 4, 4 * c, f)
+        if impl == "s2d":
+            return jax.lax.conv_general_dilated(
+                xf, kd, (1, 1, 1), [(3, 3), (2, 1), (2, 1)], dimension_numbers=dn
+            )
+        # t2d: fold padded-T pairs into channels and output-T parity into
+        # output channels; kt2[ft, ., ., (pt, ci), (q, co)] = kd[2ft+pt-q]
+        # (gathered via a zero-padded tap axis: index j <-> kt = j - 1)
+        kq = jnp.pad(kd, ((1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))  # (9,4,4,4c,F)
+        tap = (
+            2 * jnp.arange(4)[:, None, None]
+            + jnp.arange(2)[None, :, None]
+            - jnp.arange(2)[None, None, :]
+            + 1
+        )  # (ft, pt, q) -> padded tap index in 0..8
+        kt2 = kq[tap]  # (4, 2, 2, 4, 4, 4c, F)
+        kt2 = kt2.transpose(0, 3, 4, 1, 5, 2, 6).reshape(4, 4, 4, 8 * c, 2 * f)
+        xp = jnp.pad(xf, ((0, 0), (3, 3), (0, 0), (0, 0), (0, 0)))
+        x2 = xp.reshape(b, (t + 6) // 2, 2, h // 2, w // 2, 4 * c)
+        x2 = x2.transpose(0, 1, 3, 4, 2, 5).reshape(
+            b, (t + 6) // 2, h // 2, w // 2, 8 * c
         )
+        y = jax.lax.conv_general_dilated(
+            x2, kt2, (1, 1, 1), [(0, 0), (2, 1), (2, 1)], dimension_numbers=dn
+        )  # (b, t/2, h/2', w/2', 2F)
+        y = y.reshape(b, t // 2, h // 2, w // 2, 2, f)
+        return y.transpose(0, 1, 4, 2, 3, 5).reshape(b, t, h // 2, w // 2, f)
 
 
 class ResNeXtBottleneck3D(nn.Module):

@@ -217,24 +217,40 @@ def test_grouped_conv3d_lowerings_agree(rng):
         )
 
 
-def test_stem_conv3d_s2d_matches_base(rng):
-    """Space-to-depth stem == the direct 7x7x7 stride-(1,2,2) conv."""
+def test_stem_conv3d_folds_match_base(rng):
+    """s2d and t2d stem foldings == the direct 7x7x7 stride-(1,2,2) conv."""
     import jax
     import jax.numpy as jnp
 
     from dualvgr_tpu.models.backbones.resnext3d import StemConv3D
 
-    x = jnp.asarray(rng.randn(2, 5, 16, 16, 3).astype(np.float32))
-    s2d = StemConv3D(8)
+    auto = StemConv3D(8)
     base = StemConv3D(8, impl="base")
+    # odd T: auto -> s2d
+    x = jnp.asarray(rng.randn(2, 5, 16, 16, 3).astype(np.float32))
     v = base.init(jax.random.PRNGKey(1), x)
     np.testing.assert_allclose(
-        np.asarray(s2d.apply(v, x)), np.asarray(base.apply(v, x)), atol=1e-5
+        np.asarray(auto.apply(v, x)), np.asarray(base.apply(v, x)), atol=1e-5
+    )
+    # even T: auto stays on s2d (t2d loses in-network — see the StemConv3D
+    # docstring); both explicit foldings must still match the direct conv
+    xe = jnp.asarray(rng.randn(2, 6, 16, 16, 3).astype(np.float32))
+    want = np.asarray(base.apply(v, xe))
+    np.testing.assert_allclose(np.asarray(auto.apply(v, xe)), want, atol=1e-5)
+    for impl in ("s2d", "t2d"):
+        np.testing.assert_allclose(
+            np.asarray(StemConv3D(8, impl=impl).apply(v, xe)), want, atol=1e-5,
+            err_msg=impl,
+        )
+    # explicit t2d with odd T falls back to s2d (even-T pair folding only)
+    np.testing.assert_allclose(
+        np.asarray(StemConv3D(8, impl="t2d").apply(v, x)),
+        np.asarray(base.apply(v, x)), atol=1e-5,
     )
     # odd spatial dims fall back to the direct conv
     xo = jnp.asarray(rng.randn(2, 5, 15, 15, 3).astype(np.float32))
     np.testing.assert_allclose(
-        np.asarray(s2d.apply(v, xo)), np.asarray(base.apply(v, xo)), atol=1e-5
+        np.asarray(auto.apply(v, xo)), np.asarray(base.apply(v, xo)), atol=1e-5
     )
 
 

@@ -48,7 +48,9 @@ def test_two_process_train_step():
         )
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        # ~160 s cold on an idle box; 600 s keeps headroom when the suite
+        # shares the machine with a TPU bench (observed 300 s blown once)
+        out, _ = p.communicate(timeout=600)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
