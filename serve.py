@@ -15,6 +15,10 @@ batch shape is optimal; see dualvgr_tpu/serving.py).
 
     python serve.py --cfg configs/msvd_qa_DualVGR.yml [--port 8000]
         [--max-batch 32] [--max-wait-ms 2] [--topk 5] [--unit_layers 1]
+
+AOT deployment: ``--artifact model.dvgr`` serves a pre-exported StableHLO
+program (``python -m dualvgr_tpu.export``) instead of re-tracing the
+checkpoint — see dualvgr_tpu/export.py.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ from dualvgr_tpu.config import cfg_from_file, model_runtime_kwargs, resolve_data
 from dualvgr_tpu import config as config_mod
 from dualvgr_tpu.data.features import FeatureStore
 from dualvgr_tpu.data.vocab import load_vocab
+from dualvgr_tpu.export import build_predict_fn, load_artifact
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu.serving import BatchingEngine
 from dualvgr_tpu import train_lib
@@ -46,31 +51,10 @@ from preprocess.datautils.questions_common import (  # noqa: E402
 )
 
 
-def build_engine(cfg, unit_layers: int, max_batch: int, max_wait_ms: float,
-                 topk: int, max_q_len: int = 32):
-    """Checkpoint + features + vocab -> (engine, answer_fn, stores)."""
-    import jax
-    import jax.numpy as jnp
-
-    ckpt_dir = os.path.join(cfg.dataset.save_dir, "ckpt")
-    assert os.path.exists(os.path.join(ckpt_dir, "model")), f"no checkpoint in {ckpt_dir}"
+def _assemble(cfg, predict, max_batch: int, max_wait_ms: float, max_q_len: int):
+    """Stores + vocab + engine + answer closure around a predict fn."""
     cfg = resolve_dataset_paths(cfg)
-
     vocab = load_vocab(cfg.dataset.vocab_json)
-    kw = load_model_kwargs(ckpt_dir)
-    model = DualVGR(
-        vision_dim=kw["vision_dim"],
-        module_dim=kw["module_dim"],
-        word_dim=kw["word_dim"],
-        question_vocab_size=len(vocab["question_token_to_idx"]),
-        num_answers=len(vocab["answer_token_to_idx"]),
-        num_of_nodes=kw["num_of_nodes"],
-        graph_layers=kw["graph_layers"],
-        unit_layers=unit_layers,
-        graph_module=kw.get("graph_module", "GAT"),
-        **model_runtime_kwargs(cfg),
-    )
-
     app_store = FeatureStore(
         cfg.dataset.appearance_feat, "resnet_features",
         cache_gb=cfg.tpu.feature_cache_gb,
@@ -81,31 +65,6 @@ def build_engine(cfg, unit_layers: int, max_batch: int, max_wait_ms: float,
     )
     app_shape = tuple(app_store.shape[1:])  # (clips, frames, D)
     mot_shape = tuple(mot_store.shape[1:])  # (clips, D)
-
-    example = (
-        np.zeros((1,) + app_shape, np.float32),
-        np.zeros((1,) + mot_shape, np.float32),
-        np.zeros((1, max_q_len), np.int32),
-        np.ones((1,), np.int32),
-    )
-    optimizer = train_lib.make_optimizer(cfg.train.lr, 1)
-    state = train_lib.create_train_state(
-        model,
-        jax.random.key(cfg.seed, impl=config_mod.resolved_prng_impl(cfg)),
-        example,
-        optimizer,
-    )
-    _, state = restore_checkpoint(ckpt_dir, state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    k = min(topk, len(vocab["answer_token_to_idx"]))
-
-    @jax.jit
-    def predict(app, mot, q, qlen):
-        logits = model.apply(variables, app, mot, q, qlen, train=False).logits
-        probs = jax.nn.softmax(logits, axis=-1)
-        top_p, top_i = jax.lax.top_k(probs, k)
-        return top_i, top_p
-
     engine = BatchingEngine(
         predict,
         max_batch=max_batch,
@@ -135,6 +94,64 @@ def build_engine(cfg, unit_layers: int, max_batch: int, max_wait_ms: float,
         }
 
     return engine, answer, (app_store, mot_store)
+
+
+def build_engine_from_artifact(cfg, artifact: str, max_wait_ms: float):
+    """AOT path: the serving program comes from a ``.dvgr`` export artifact
+    (dualvgr_tpu/export.py) — no checkpoint, no model re-trace; batch
+    shape / q-len / top-k come from the artifact header."""
+    predict, meta = load_artifact(artifact)
+    return _assemble(
+        cfg, predict, meta["max_batch"], max_wait_ms, meta["max_q_len"]
+    )
+
+
+def build_engine(cfg, unit_layers: int, max_batch: int, max_wait_ms: float,
+                 topk: int, max_q_len: int = 32):
+    """Checkpoint + features + vocab -> (engine, answer_fn, stores)."""
+    import jax
+    import jax.numpy as jnp
+
+    ckpt_dir = os.path.join(cfg.dataset.save_dir, "ckpt")
+    assert os.path.exists(os.path.join(ckpt_dir, "model")), f"no checkpoint in {ckpt_dir}"
+    paths_cfg = resolve_dataset_paths(cfg)
+
+    vocab = load_vocab(paths_cfg.dataset.vocab_json)
+    kw = load_model_kwargs(ckpt_dir)
+    model = DualVGR(
+        vision_dim=kw["vision_dim"],
+        module_dim=kw["module_dim"],
+        word_dim=kw["word_dim"],
+        question_vocab_size=len(vocab["question_token_to_idx"]),
+        num_answers=len(vocab["answer_token_to_idx"]),
+        num_of_nodes=kw["num_of_nodes"],
+        graph_layers=kw["graph_layers"],
+        unit_layers=unit_layers,
+        graph_module=kw.get("graph_module", "GAT"),
+        **model_runtime_kwargs(cfg),
+    )
+
+    example_dims = FeatureStore(paths_cfg.dataset.appearance_feat, "resnet_features")
+    app_shape = tuple(example_dims.shape[1:])
+    example_dims.close()
+    example = (
+        np.zeros((1,) + app_shape, np.float32),
+        np.zeros((1, app_shape[0], app_shape[-1]), np.float32),
+        np.zeros((1, max_q_len), np.int32),
+        np.ones((1,), np.int32),
+    )
+    optimizer = train_lib.make_optimizer(cfg.train.lr, 1)
+    state = train_lib.create_train_state(
+        model,
+        jax.random.key(cfg.seed, impl=config_mod.resolved_prng_impl(cfg)),
+        example,
+        optimizer,
+    )
+    _, state = restore_checkpoint(ckpt_dir, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    k = min(topk, len(vocab["answer_token_to_idx"]))
+    predict = jax.jit(build_predict_fn(model, variables, k))
+    return _assemble(cfg, predict, max_batch, max_wait_ms, max_q_len)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -195,15 +212,26 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--topk", type=int, default=5)
+    p.add_argument(
+        "--artifact", default=None,
+        help="serve an AOT .dvgr export (python -m dualvgr_tpu.export) "
+        "instead of loading the checkpoint; batch/q-len/top-k come from "
+        "the artifact header",
+    )
     args = p.parse_args(argv)
 
     cfg = cfg_from_file(args.cfg_file)
     cfg.dataset.save_dir = os.path.join(cfg.dataset.save_dir, cfg.exp_name)
     setup_logging()
 
-    engine, answer_fn, _stores = build_engine(
-        cfg, args.unit_layers, args.max_batch, args.max_wait_ms, args.topk
-    )
+    if args.artifact:
+        engine, answer_fn, _stores = build_engine_from_artifact(
+            cfg, args.artifact, args.max_wait_ms
+        )
+    else:
+        engine, answer_fn, _stores = build_engine(
+            cfg, args.unit_layers, args.max_batch, args.max_wait_ms, args.topk
+        )
     # warm the compiled program before accepting traffic (first compile of
     # the flagship program is tens of seconds; healthz turns green after)
     logging.info("warming up (first compile)...")
