@@ -33,6 +33,7 @@ import numpy as np
 
 __all__ = [
     "build_predict_fn",
+    "per_device_predict_fns",
     "export_serving",
     "save_artifact",
     "load_artifact",
@@ -57,6 +58,37 @@ def build_predict_fn(model, variables, top_k: int):
         return top_i, top_p  # (ids, scores) — the BatchingEngine contract
 
     return predict
+
+
+def per_device_predict_fns(fn_or_model, variables=None, top_k=None, devices=None):
+    """Replica closures for :class:`dualvgr_tpu.serving.ReplicatedEngine`.
+
+    Two forms: ``per_device_predict_fns(model, variables, top_k)`` builds the
+    live predict fn then pins one jitted copy (weights included) per device;
+    ``per_device_predict_fns(loaded_fn)`` pins copies of an
+    :func:`load_artifact` callable. Each replica's numpy inputs commit to its
+    own device via a SingleDeviceSharding, so the per-device programs never
+    exchange data — multi-chip serving scales by replication (the single-chip
+    batch-8 curve already saturates a chip; see serving.py).
+    """
+    import jax
+    from jax.sharding import SingleDeviceSharding
+
+    if devices is None:
+        devices = jax.devices()
+    fns = []
+    for dev in devices:
+        if variables is not None:
+            # weights pinned to this replica's device BEFORE tracing, so the
+            # closure never mixes placements across replicas
+            base = build_predict_fn(
+                fn_or_model, jax.device_put(variables, dev), top_k
+            )
+        else:
+            base = fn_or_model
+        s = SingleDeviceSharding(dev)
+        fns.append(jax.jit(base, in_shardings=s, out_shardings=s))
+    return fns
 
 
 def export_serving(

@@ -36,9 +36,9 @@ from dualvgr_tpu.config import cfg_from_file, model_runtime_kwargs, resolve_data
 from dualvgr_tpu import config as config_mod
 from dualvgr_tpu.data.features import FeatureStore
 from dualvgr_tpu.data.vocab import load_vocab
-from dualvgr_tpu.export import build_predict_fn, load_artifact
+from dualvgr_tpu.export import build_predict_fn, load_artifact, per_device_predict_fns
 from dualvgr_tpu.models import DualVGR
-from dualvgr_tpu.serving import BatchingEngine
+from dualvgr_tpu.serving import BatchingEngine, ReplicatedEngine
 from dualvgr_tpu import train_lib
 from dualvgr_tpu.utils import setup_logging
 from dualvgr_tpu.utils.checkpoint import load_model_kwargs, restore_checkpoint
@@ -52,7 +52,8 @@ from preprocess.datautils.questions_common import (  # noqa: E402
 
 
 def _assemble(cfg, predict, max_batch: int, max_wait_ms: float, max_q_len: int):
-    """Stores + vocab + engine + answer closure around a predict fn."""
+    """Stores + vocab + engine + answer closure around a predict fn (or a
+    list of per-replica predict fns -> ReplicatedEngine)."""
     cfg = resolve_dataset_paths(cfg)
     vocab = load_vocab(cfg.dataset.vocab_json)
     app_store = FeatureStore(
@@ -65,13 +66,16 @@ def _assemble(cfg, predict, max_batch: int, max_wait_ms: float, max_q_len: int):
     )
     app_shape = tuple(app_store.shape[1:])  # (clips, frames, D)
     mot_shape = tuple(mot_store.shape[1:])  # (clips, D)
-    engine = BatchingEngine(
-        predict,
+    kwargs = dict(
         max_batch=max_batch,
         max_wait_ms=max_wait_ms,
         max_q_len=max_q_len,
         feature_shapes=(app_shape, mot_shape),
     )
+    if isinstance(predict, (list, tuple)):
+        engine = ReplicatedEngine(list(predict), **kwargs)
+    else:
+        engine = BatchingEngine(predict, **kwargs)
     ans_vocab = vocab["answer_idx_to_token"]
     q_vocab = vocab["question_token_to_idx"]
 
@@ -96,18 +100,36 @@ def _assemble(cfg, predict, max_batch: int, max_wait_ms: float, max_q_len: int):
     return engine, answer, (app_store, mot_store)
 
 
-def build_engine_from_artifact(cfg, artifact: str, max_wait_ms: float):
+def _replicate(predict, replicas: int, model=None, variables=None, topk=None):
+    """1 replica -> the plain predict fn; N -> per-device pinned copies."""
+    if replicas <= 1:
+        return predict
+    import jax
+
+    devices = jax.devices()
+    if replicas > len(devices):
+        raise ValueError(f"--replicas {replicas} > {len(devices)} devices")
+    if model is not None:
+        return per_device_predict_fns(
+            model, variables, topk, devices=devices[:replicas]
+        )
+    return per_device_predict_fns(predict, devices=devices[:replicas])
+
+
+def build_engine_from_artifact(cfg, artifact: str, max_wait_ms: float,
+                               replicas: int = 1):
     """AOT path: the serving program comes from a ``.dvgr`` export artifact
     (dualvgr_tpu/export.py) — no checkpoint, no model re-trace; batch
     shape / q-len / top-k come from the artifact header."""
     predict, meta = load_artifact(artifact)
     return _assemble(
-        cfg, predict, meta["max_batch"], max_wait_ms, meta["max_q_len"]
+        cfg, _replicate(predict, replicas),
+        meta["max_batch"], max_wait_ms, meta["max_q_len"],
     )
 
 
 def build_engine(cfg, unit_layers: int, max_batch: int, max_wait_ms: float,
-                 topk: int, max_q_len: int = 32):
+                 topk: int, max_q_len: int = 32, replicas: int = 1):
     """Checkpoint + features + vocab -> (engine, answer_fn, stores)."""
     import jax
     import jax.numpy as jnp
@@ -150,7 +172,10 @@ def build_engine(cfg, unit_layers: int, max_batch: int, max_wait_ms: float,
     _, state = restore_checkpoint(ckpt_dir, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     k = min(topk, len(vocab["answer_token_to_idx"]))
-    predict = jax.jit(build_predict_fn(model, variables, k))
+    if replicas > 1:
+        predict = _replicate(None, replicas, model=model, variables=variables, topk=k)
+    else:
+        predict = jax.jit(build_predict_fn(model, variables, k))
     return _assemble(cfg, predict, max_batch, max_wait_ms, max_q_len)
 
 
@@ -213,6 +238,12 @@ def main(argv=None):
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--topk", type=int, default=5)
     p.add_argument(
+        "--replicas", type=int, default=1,
+        help="serve N per-device model replicas with round-robin dispatch "
+        "(multi-chip serving scales by replication — the model saturates "
+        "one chip at batch 8; see dualvgr_tpu/serving.py)",
+    )
+    p.add_argument(
         "--artifact", default=None,
         help="serve an AOT .dvgr export (python -m dualvgr_tpu.export) "
         "instead of loading the checkpoint; batch/q-len/top-k come from "
@@ -226,22 +257,25 @@ def main(argv=None):
 
     if args.artifact:
         engine, answer_fn, _stores = build_engine_from_artifact(
-            cfg, args.artifact, args.max_wait_ms
+            cfg, args.artifact, args.max_wait_ms, replicas=args.replicas
         )
     else:
         engine, answer_fn, _stores = build_engine(
-            cfg, args.unit_layers, args.max_batch, args.max_wait_ms, args.topk
+            cfg, args.unit_layers, args.max_batch, args.max_wait_ms, args.topk,
+            replicas=args.replicas,
         )
-    # warm the compiled program before accepting traffic (first compile of
-    # the flagship program is tens of seconds; healthz turns green after)
+    # warm the compiled program(s) before accepting traffic (first compile of
+    # the flagship program is tens of seconds; healthz turns green after).
+    # Round-robin dispatch means `replicas` submissions touch every replica.
     logging.info("warming up (first compile)...")
     app_shape, mot_shape = engine._feature_shapes
-    engine.submit(
-        np.zeros(app_shape, np.float32),
-        np.zeros(mot_shape, np.float32),
-        np.array([1], np.int32),
-        timeout=600.0,
-    )
+    for _ in range(max(1, args.replicas)):
+        engine.submit(
+            np.zeros(app_shape, np.float32),
+            np.zeros(mot_shape, np.float32),
+            np.array([1], np.int32),
+            timeout=600.0,
+        )
     logging.info("warm; compiled batch shape (%d, ...)", engine.max_batch)
     srv = make_server(args.host, args.port, engine, answer_fn)
     logging.info("serving on %s:%d (max_batch=%d, max_wait=%.1fms)",

@@ -145,3 +145,16 @@ def test_export_cli_and_serve_from_artifact(synth_dir):
         engine.close()
         stores[0].close()
         stores[1].close()
+
+    # the same artifact drives multi-device serving: 2 per-device replicas
+    engine, answer_fn, stores = serve.build_engine_from_artifact(
+        cfg, artifact, max_wait_ms=1.0, replicas=2
+    )
+    try:
+        out2 = answer_fn(video_id, "what is moving?")
+        assert out2["answer"] == out["answer"]
+        assert engine.stats()["replicas"] == 2
+    finally:
+        engine.close()
+        stores[0].close()
+        stores[1].close()

@@ -108,6 +108,92 @@ def test_engine_error_fanout_and_recovery(rng):
         assert out is not None
 
 
+def test_replicated_engine_round_robin_and_stats(rng):
+    from dualvgr_tpu.serving import ReplicatedEngine
+
+    hits = [0, 0, 0]
+
+    def make(i):
+        def fn(app, mot, q, qlen):
+            hits[i] += 1
+            return _np_predict(app, mot, q, qlen)
+        return fn
+
+    with ReplicatedEngine(
+        [make(i) for i in range(3)], max_batch=2, max_wait_ms=1.0,
+        max_q_len=6, feature_shapes=(APP, MOT),
+    ) as eng:
+        assert eng.max_batch == 2
+        reqs = [_req(rng, L=3) for _ in range(6)]
+        outs = [eng.submit(*r) for r in reqs]
+        for (app, mot, q), (got_id, got_scores) in zip(reqs, outs):
+            want_id, want_scores = _np_predict(
+                app[None], mot[None],
+                np.pad(q, (0, 6 - len(q)))[None], np.array([len(q)]),
+            )
+            assert int(got_id) == int(want_id[0])
+            np.testing.assert_array_equal(got_scores, want_scores[0])
+        s = eng.stats()
+    assert hits == [2, 2, 2]  # serial submits round-robin evenly
+    assert s["replicas"] == 3 and s["requests"] == 6
+    assert len(s["per_replica"]) == 3
+    assert s["latency_ms_p50"] is not None
+
+
+def test_per_device_replicas_match_single_device(rng):
+    """Per-device pinned predict fns (one per virtual CPU device) agree with
+    the unpinned jit and actually live on distinct devices."""
+    import jax
+
+    from dualvgr_tpu import train_lib
+    from dualvgr_tpu.export import build_predict_fn, per_device_predict_fns
+    from dualvgr_tpu.models import DualVGR
+    from dualvgr_tpu.serving import ReplicatedEngine
+
+    model = DualVGR(
+        vision_dim=24, module_dim=16, word_dim=8, question_vocab_size=30,
+        num_answers=10, num_of_nodes=4, graph_layers=1, unit_layers=1,
+    )
+    b, c, f, t = 2, 4, 3, 5
+    app = rng.randn(b, c, f, 24).astype(np.float32)
+    mot = rng.randn(b, c, 24).astype(np.float32)
+    q = rng.randint(1, 30, (b, t)).astype(np.int32)
+    qlen = np.array([t, t - 2], np.int32)
+    q[1, qlen[1]:] = 0
+    opt = train_lib.make_optimizer(1e-3, 10)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(2), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    devices = jax.devices()[:4]
+    fns = per_device_predict_fns(model, variables, 3, devices=devices)
+    want_i, want_p = build_predict_fn(model, variables, 3)(app, mot, q, qlen)
+    for dev, fn in zip(devices, fns):
+        got_i, got_p = fn(app, mot, q, qlen)
+        assert got_i.devices() == {dev}
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_allclose(
+            np.asarray(got_p), np.asarray(want_p), rtol=1e-6, atol=1e-6
+        )
+
+    # end-to-end through the replicated engine, concurrent callers
+    with ReplicatedEngine(
+        fns, max_batch=2, max_wait_ms=1.0, max_q_len=t,
+        feature_shapes=((c, f, 24), (c, 24)),
+    ) as eng:
+        results = [None] * 8
+        def call(i):
+            results[i] = eng.submit(app[0], mot[0], q[0][: qlen[0]])
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for got_i, got_p in results:
+            np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i[0]))
+
+
 def test_engine_input_validation(rng):
     with BatchingEngine(
         _np_predict, max_batch=2, max_wait_ms=1.0, max_q_len=4,
