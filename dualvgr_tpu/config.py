@@ -130,6 +130,13 @@ def default_config() -> Config:
             # benched train numbers with no hand-editing. YAMLs may pin
             # either implementation explicitly (resolved_prng_impl).
             "prng_impl": "auto",
+            # preemption-safe training: autosave the train state to
+            # {ckpt}_autosave at every epoch end and on SIGTERM/SIGINT
+            # (TPU pods preempt with a grace window); `train.restore: True`
+            # resumes from the NEWER of best-val / autosave, and a cleanly
+            # finished run deletes its autosave so restore keeps the
+            # reference's best-checkpoint semantics.
+            "autosave": True,
         },
     })
     return c

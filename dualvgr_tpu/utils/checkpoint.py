@@ -22,6 +22,21 @@ from dualvgr_tpu.train_lib import TrainState
 
 _STATE_DIR = "state"
 _KWARGS_FILE = "model_kwargs.json"
+_META_FILE = "meta.json"
+
+
+def saved_epoch(ckpt_dir: str) -> int | None:
+    """Epoch of the checkpoint under ``ckpt_dir``, or None if there is no
+    checkpoint. Checkpoints from before meta.json existed report -1 (valid
+    but never preferred over one with a recorded epoch)."""
+    model_dir = os.path.join(ckpt_dir, "model")
+    if not os.path.exists(model_dir):
+        return None
+    try:
+        with open(os.path.join(model_dir, _META_FILE)) as f:
+            return int(json.load(f)["epoch"])
+    except (OSError, ValueError, KeyError):
+        return -1
 
 
 def jnp_is_typed_key(x) -> bool:
@@ -51,6 +66,10 @@ def save_checkpoint(ckpt_dir: str, epoch: int, state: TrainState, model_kwargs: 
         ck.save(os.path.join(path, _STATE_DIR), jax.device_get(tree), force=True)
     with open(os.path.join(path, _KWARGS_FILE), "w") as f:
         json.dump(model_kwargs, f, indent=2)
+    # epoch readable WITHOUT a full restore (resume-policy choice between
+    # best-val and autosave checkpoints needs only this)
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump({"epoch": int(epoch), "step": int(state.step)}, f)
 
 
 def load_model_kwargs(ckpt_dir: str) -> dict:

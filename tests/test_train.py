@@ -180,3 +180,55 @@ def test_unit_layers_and_graph_layers_stack(rng):
     # four distinct GAT banks exist per stream
     unit = variables["params"]["visual_input_unit"]
     assert {f"appearance_gat_{k}" in unit for k in range(4)} == {True}
+
+
+def test_saved_epoch_meta(rng, tmp_path):
+    from dualvgr_tpu.utils.checkpoint import save_checkpoint, saved_epoch
+
+    assert saved_epoch(str(tmp_path / "nope")) is None
+    model = tiny_model()
+    app, mot, q, qlen, ans = tiny_batch(rng, b=2)
+    opt = train_lib.make_optimizer(1e-3, 10)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(0), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+    save_checkpoint(str(tmp_path), 3, state, {"module_dim": 16})
+    assert saved_epoch(str(tmp_path)) == 3
+
+
+@pytest.mark.slow
+def test_preemption_autosave_and_resume(synth_dir, tmp_path):
+    """Preemption-safe training: a stop request mid-epoch checkpoints to
+    {ckpt}_autosave and stops; a restore run resumes from the autosave,
+    completes, deletes the autosave, and leaves a best-val checkpoint."""
+    import os
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import train as train_cli
+    from dualvgr_tpu.config import cfg_from_file, resolve_dataset_paths
+    from dualvgr_tpu.utils.checkpoint import saved_epoch
+
+    cfg = cfg_from_file(synth_dir["config"])
+    cfg.dataset.save_dir = str(tmp_path)
+    cfg.alpha, cfg.beta, cfg.unit_layers = 1.0, 1e-8, 1
+    cfg.train.max_epochs = 2
+    cfg = resolve_dataset_paths(cfg)
+    ckpt_dir = os.path.join(cfg.dataset.save_dir, "ckpt")
+    autosave_dir = ckpt_dir + "_autosave"
+
+    # pre-set stop: train() must checkpoint at the first step boundary of
+    # epoch 0 (saved epoch -1 -> resume re-runs epoch 0) and return early
+    stop = threading.Event()
+    stop.set()
+    train_cli.train(cfg, stop_event=stop)
+    assert saved_epoch(autosave_dir) == -1
+    assert saved_epoch(ckpt_dir) is None  # never reached validation
+
+    # resume: prefers the autosave, completes both epochs, cleans it up
+    cfg.train.restore = True
+    best_val, _state = train_cli.train(cfg)
+    assert not os.path.exists(autosave_dir)
+    assert saved_epoch(ckpt_dir) is not None
+    assert best_val > 0.0

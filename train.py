@@ -20,7 +20,10 @@ from __future__ import annotations
 import argparse
 import logging
 import os
+import shutil
+import signal
 import sys
+import threading
 
 import jax
 import numpy as np
@@ -32,7 +35,11 @@ from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib, validate_lib
 from dualvgr_tpu.parallel import mesh_for, place_state, prefetch_to_device, shard_batch
 from dualvgr_tpu.utils import setup_logging, train_ticker
-from dualvgr_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from dualvgr_tpu.utils.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    saved_epoch,
+)
 
 
 def build_model(cfg, vocab) -> DualVGR:
@@ -63,7 +70,11 @@ def model_kwargs_tosave(cfg) -> dict:
     }
 
 
-def train(cfg):
+def train(cfg, stop_event=None):
+    """``stop_event`` (threading.Event) requests a preemption-safe stop:
+    the loop checkpoints to {ckpt}_autosave at the next metrics boundary
+    and returns. The CLI wires SIGTERM/SIGINT to it (TPU pods preempt with
+    a grace window); library callers may set it directly."""
     logging.info("Create train_loader and val_loader.........")
     train_loader = VideoQADataLoader(
         question_pt=cfg.dataset.train_question_pt,
@@ -125,14 +136,25 @@ def train(cfg):
 
     start_epoch = 0
     ckpt_dir = os.path.join(cfg.dataset.save_dir, "ckpt")
+    autosave_dir = ckpt_dir + "_autosave"
     if cfg.train.restore:
         logging.info("Restore checkpoint and optimizer...")
-        if not os.path.exists(os.path.join(ckpt_dir, "model")):
+        # prefer the autosave when it is at least as new as the best-val
+        # checkpoint (a preempted/crashed run leaves one behind; a cleanly
+        # finished run deletes it, restoring best-checkpoint semantics)
+        best_ep, auto_ep = saved_epoch(ckpt_dir), saved_epoch(autosave_dir)
+        if auto_ep is not None and (best_ep is None or auto_ep >= best_ep):
+            restore_dir = autosave_dir
+            logging.info("resuming from autosave (epoch %d)", auto_ep)
+        elif best_ep is not None:
+            restore_dir = ckpt_dir
+        else:
             raise FileNotFoundError(
                 f"train.restore is True but no checkpoint exists under {ckpt_dir} "
-                "(checkpoints are only written when validation accuracy improves)"
+                f"or {autosave_dir} (best checkpoints are only written when "
+                "validation accuracy improves)"
             )
-        epoch, state = restore_checkpoint(ckpt_dir, state)
+        epoch, state = restore_checkpoint(restore_dir, state)
         start_epoch = epoch + 1
     state = place_state(state, mesh, zero_opt=cfg.tpu.get("zero_opt", False))
 
@@ -145,6 +167,13 @@ def train(cfg):
 
     profile_dir = cfg.tpu.get("profile_dir", "")
     profiling = False
+
+    autosave_on = bool(cfg.tpu.get("autosave", True))
+    preempted = False
+
+    def _autosave(save_epoch: int, why: str):
+        save_checkpoint(autosave_dir, save_epoch, state, model_kwargs_tosave(cfg))
+        logging.info("autosaved train state (%s, resume epoch %d)", why, save_epoch + 1)
 
     logging.info("Start training........")
     for epoch in range(start_epoch, cfg.train.max_epochs):
@@ -174,6 +203,13 @@ def train(cfg):
         for i, device_batch in enumerate(device_batches):
             state, metrics = step_fn(state, device_batch)
             pending.append(metrics)
+            if stop_event is not None and stop_event.is_set():
+                # mid-epoch preemption: save with epoch-1 so resume re-runs
+                # this epoch from its start (epoch-level granularity)
+                if autosave_on:
+                    _autosave(epoch - 1, f"preempted at step {i + 1}")
+                preempted = True
+                break
             if (i + 1) % log_every == 0 or (i + 1) == steps_per_epoch:
                 for m in pending:
                     total_loss += float(m["loss"])
@@ -192,6 +228,12 @@ def train(cfg):
                     cfg.exp_name,
                 )
         sys.stdout.write("\n")
+        if preempted:
+            logging.warning(
+                "stopping on preemption signal (epoch %d); resume with "
+                "train.restore: True", epoch,
+            )
+            break
         logging.info(
             "Epoch = %d   avg_loss = %.3f    avg_acc = %.3f",
             epoch,
@@ -216,6 +258,14 @@ def train(cfg):
                 best_cats = cat_accs
                 save_checkpoint(ckpt_dir, epoch, state, model_kwargs_tosave(cfg))
                 logging.info("saved best checkpoint (val acc %.4f)", best_val)
+
+        if autosave_on:
+            _autosave(epoch, "epoch end")
+
+    if not preempted and os.path.exists(autosave_dir):
+        # clean completion: drop the autosave so `train.restore: True`
+        # restores the BEST checkpoint (reference semantics), not the last
+        shutil.rmtree(autosave_dir)
 
     if best_cats is not None:
         logging.info("~~~~~~ Best Valid Accuracy: %.4f ~~~~~~~", best_val)
@@ -249,7 +299,30 @@ def main(argv=None):
     cfg = resolve_dataset_paths(cfg)
 
     np.random.seed(cfg.seed)
-    return train(cfg)
+
+    # preemption-safe stop: first SIGTERM/SIGINT requests a checkpoint-and-
+    # stop at the next step boundary; a second one falls through to the
+    # default handler (hard kill) for operators who really mean it
+    stop = threading.Event()
+    prev_handlers = {}
+
+    def _request_stop(signum, frame):
+        logging.warning(
+            "received signal %d: checkpointing to autosave, then stopping "
+            "(send again to force)", signum,
+        )
+        stop.set()
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
+
+    if threading.current_thread() is threading.main_thread():
+        for s in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[s] = signal.signal(s, _request_stop)
+    try:
+        return train(cfg, stop_event=stop)
+    finally:
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
 
 
 if __name__ == "__main__":
