@@ -83,7 +83,24 @@ class VideoQADataLoader:
         feature_cache_gb: float = 8.0,
         prefetch: int = 2,
         pad_final: bool = True,
+        # multi-host sharded loading: this host gathers only rows
+        # [host_index*B/H, (host_index+1)*B/H) of each global batch (the
+        # slice parallel.process_batch_bounds assigns it); batch order and
+        # padding are computed GLOBALLY from the shared seed, so every host
+        # agrees on the epoch without communicating.
+        host_index: int = 0,
+        host_count: int = 1,
     ):
+        if host_count > 1:
+            if batch_size % host_count:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by host_count {host_count}"
+                )
+            if not pad_final:
+                raise ValueError("host-sharded loading requires pad_final")
+            if not 0 <= host_index < host_count:
+                raise ValueError(f"host_index {host_index} not in [0, {host_count})")
+        self.host_index, self.host_count = host_index, host_count
         self.vocab = load_vocab(vocab_json)
         with open(question_pt, "rb") as f:
             obj = pickle.load(f)
@@ -172,13 +189,11 @@ class VideoQADataLoader:
         # reference overrides DataLoader.__len__ the same way (DataLoader.py:167-168)
         return math.ceil(self.num_samples / self.batch_size)
 
-    def _make_batch(self, idx: np.ndarray, n_valid: int) -> Batch:
+    def _make_batch(self, idx: np.ndarray, valid: np.ndarray) -> Batch:
         app = self.app_store.gather(self._app_rows[idx]).astype(np.float32, copy=False)
         motion = self.motion_store.gather(self._motion_rows[idx]).astype(
             np.float32, copy=False
         )
-        valid = np.zeros((len(idx),), np.float32)
-        valid[:n_valid] = 1.0
         return Batch(
             video_idx=self.video_ids[idx],
             question_idx=self.q_ids[idx],
@@ -196,13 +211,19 @@ class VideoQADataLoader:
         if self.shuffle:
             self._rng.shuffle(order)
         bs = self.batch_size
+        per = bs // self.host_count
+        lo = self.host_index * per
         for start in range(0, self.num_samples, bs):
             idx = order[start : start + bs]
             n_valid = len(idx)
             if n_valid < bs and self.pad_final:
                 pad = np.full((bs - n_valid,), idx[-1], idx.dtype)
                 idx = np.concatenate([idx, pad])
-            yield idx, n_valid
+            valid = np.zeros((len(idx),), np.float32)
+            valid[:n_valid] = 1.0
+            if self.host_count > 1:
+                idx, valid = idx[lo : lo + per], valid[lo : lo + per]
+            yield idx, valid
 
     def __iter__(self):
         self._epoch += 1
@@ -223,10 +244,10 @@ class VideoQADataLoader:
 
         def producer():
             try:
-                for idx, n_valid in self._batch_indices():
+                for idx, valid in self._batch_indices():
                     if shutdown.is_set():
                         return
-                    if not put_checked(self._make_batch(idx, n_valid)):
+                    if not put_checked(self._make_batch(idx, valid)):
                         return
             finally:
                 put_checked(sentinel)

@@ -3,9 +3,11 @@ from dualvgr_tpu.parallel.mesh import (  # noqa: F401
     data_mesh,
     maybe_initialize_distributed,
     prefetch_to_device,
+    process_batch_bounds,
     replicate,
     replicated_sharding,
     shard_batch,
+    shard_batch_local,
 )
 from dualvgr_tpu.parallel.tp import (  # noqa: F401
     dp_tp_mesh,

@@ -77,6 +77,62 @@ def main():
         flush=True,
     )
 
+    # ---- phase 2 (optional): host-sharded data loading ----
+    # Each process gathers ONLY its slice of the global batch from the
+    # synthetic dataset (loader host_index/host_count + shard_batch_local);
+    # the parent asserts the resulting loss matches a single-process run on
+    # the full batch (global-batch semantics end to end).
+    synth = os.environ.get("MULTIHOST_SYNTH_DIR")
+    if not synth:
+        return
+    from dualvgr_tpu.data import VideoQADataLoader
+    from dualvgr_tpu.parallel import process_batch_bounds, shard_batch_local
+
+    bs = 8
+    per = bs // jax.process_count()
+    lo, hi = process_batch_bounds(mesh, "data", bs)
+    assert (lo, hi) == (
+        jax.process_index() * per,
+        (jax.process_index() + 1) * per,
+    ), (lo, hi)
+    loader = VideoQADataLoader(
+        question_pt=f"{synth}/svqa_train_questions.pt",
+        vocab_json=f"{synth}/svqa_vocab.json",
+        appearance_feat=f"{synth}/svqa_appearance_feat.h5",
+        motion_feat=f"{synth}/svqa_motion_feat.h5",
+        batch_size=bs,
+        shuffle=True,
+        seed=11,
+        host_index=jax.process_index(),
+        host_count=jax.process_count(),
+    )
+    model2 = DualVGR(
+        vision_dim=32, module_dim=32, word_dim=16,
+        question_vocab_size=len(loader.vocab["question_token_to_idx"]),
+        num_answers=len(loader.vocab["answer_token_to_idx"]),
+        num_of_nodes=4, graph_layers=1, unit_layers=1,
+    )
+    opt2 = train_lib.make_optimizer(1e-3, 10)
+    state2 = train_lib.create_train_state(
+        model2, jax.random.PRNGKey(7), loader.example_batch(1), opt2
+    )
+    state2 = replicate(state2, mesh)
+    step2 = train_lib.jit_train_step(model2, opt2, alpha=1.0, beta=1e-8)
+    it = iter(loader)
+    b0 = next(it)
+    assert b0.question.shape[0] == per, b0.question.shape  # local rows only
+    batch2 = shard_batch_local(
+        (b0.appearance_feat, b0.motion_feat, b0.question, b0.question_len,
+         b0.answer, b0.valid),
+        mesh,
+    )
+    state2, m2 = step2(state2, batch2)
+    print(
+        f"MULTIHOST_LOADER {jax.process_index()} loss={float(m2['loss']):.6f}",
+        flush=True,
+    )
+    loader.close()
+
 
 if __name__ == "__main__":
     main()

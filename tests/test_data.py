@@ -155,3 +155,44 @@ def test_num_workers_maps_to_gather_threads(synth_dir):
     assert loader.motion_store.n_threads == 3
     auto = _loader(synth_dir)
     assert auto.app_store.n_threads is None  # 0 => auto
+
+
+def test_host_sharded_loader_partitions_global_batches(synth_dir):
+    """Concatenating every host's slices reproduces the global batches
+    exactly (same seed -> same global shuffle + padding on every host)."""
+    full = _loader(synth_dir, shuffle=True, seed=13)
+    parts = [
+        _loader(synth_dir, shuffle=True, seed=13, host_index=i, host_count=2)
+        for i in range(2)
+    ]
+    assert len(full) == len(parts[0]) == len(parts[1])
+    for bg, b0, b1 in zip(iter(full), iter(parts[0]), iter(parts[1])):
+        assert b0.question.shape[0] == b1.question.shape[0] == 4
+        for field in (
+            "appearance_feat", "motion_feat", "question", "question_len",
+            "answer", "valid", "video_idx", "question_idx",
+        ):
+            got = np.concatenate([getattr(b0, field), getattr(b1, field)])
+            np.testing.assert_array_equal(got, getattr(bg, field), err_msg=field)
+    for ld in (full, *parts):
+        ld.close()
+
+
+def test_host_sharded_loader_validation(synth_dir):
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        _loader(synth_dir, batch_size=9, host_count=2)
+    with pytest.raises(ValueError, match="pad_final"):
+        _loader(synth_dir, host_count=2, pad_final=False)
+    with pytest.raises(ValueError, match="host_index"):
+        _loader(synth_dir, host_count=2, host_index=2)
+
+
+def test_process_batch_bounds_single_process():
+    import jax
+
+    from dualvgr_tpu.parallel import data_mesh, process_batch_bounds
+
+    mesh = data_mesh(devices=jax.devices()[:4])
+    assert process_batch_bounds(mesh, "data", 8) == (0, 8)

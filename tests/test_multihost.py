@@ -25,8 +25,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_step():
-    port = _free_port()
+def _spawn_workers(port, extra_env=None):
     procs = []
     for pid in range(2):
         env = dict(
@@ -35,6 +34,7 @@ def test_two_process_train_step():
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
             PYTHONPATH=REPO,
+            **(extra_env or {}),
         )
         env.pop("JAX_PLATFORMS", None)  # the worker pins cpu itself
         procs.append(
@@ -54,15 +54,76 @@ def test_two_process_train_step():
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
+    return outs
 
+
+def _parse(outs, tag):
     results = {}
     for out in outs:
         for line in out.splitlines():
-            if line.startswith("MULTIHOST "):
-                _, pid, loss, logits = line.split()
-                results[int(pid)] = (loss, logits)
+            if line.startswith(f"{tag} "):
+                parts = line.split()
+                results[int(parts[1])] = tuple(parts[2:])
     assert set(results) == {0, 1}, (results, outs)
+    return results
+
+
+def test_two_process_train_step():
+    outs = _spawn_workers(_free_port())
+    results = _parse(outs, "MULTIHOST")
     # both processes computed the SAME global step: identical loss + logits
     assert results[0] == results[1], results
     loss = float(results[0][0].split("=")[1])
     assert 0.0 < loss < 50.0, loss
+
+
+def test_two_process_hostsharded_loader(synth_dir):
+    """Each process gathers only ITS rows of the global batch (loader
+    host_index/host_count + shard_batch_local); the train-step loss must
+    equal a single-process run over the full batch — host-sharded loading
+    preserves global-batch semantics exactly."""
+    import jax
+    import numpy as np
+
+    outs = _spawn_workers(
+        _free_port(), extra_env={"MULTIHOST_SYNTH_DIR": synth_dir["dir"]}
+    )
+    results = _parse(outs, "MULTIHOST_LOADER")
+    assert results[0] == results[1], results
+    worker_loss = float(results[0][0].split("=")[1])
+
+    # single-process reference: same loader seed, full global batch
+    from dualvgr_tpu import train_lib
+    from dualvgr_tpu.data import VideoQADataLoader
+    from dualvgr_tpu.models import DualVGR
+
+    d = synth_dir["dir"]
+    loader = VideoQADataLoader(
+        question_pt=f"{d}/svqa_train_questions.pt",
+        vocab_json=f"{d}/svqa_vocab.json",
+        appearance_feat=f"{d}/svqa_appearance_feat.h5",
+        motion_feat=f"{d}/svqa_motion_feat.h5",
+        batch_size=8,
+        shuffle=True,
+        seed=11,
+    )
+    model = DualVGR(
+        vision_dim=32, module_dim=32, word_dim=16,
+        question_vocab_size=len(loader.vocab["question_token_to_idx"]),
+        num_answers=len(loader.vocab["answer_token_to_idx"]),
+        num_of_nodes=4, graph_layers=1, unit_layers=1,
+    )
+    opt = train_lib.make_optimizer(1e-3, 10)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(7), loader.example_batch(1), opt
+    )
+    step = train_lib.jit_train_step(model, opt, alpha=1.0, beta=1e-8)
+    it = iter(loader)
+    b0 = next(it)
+    _, m = step(
+        state,
+        (b0.appearance_feat, b0.motion_feat, b0.question, b0.question_len,
+         b0.answer, b0.valid),
+    )
+    loader.close()
+    np.testing.assert_allclose(worker_loss, float(m["loss"]), rtol=2e-5)

@@ -75,6 +75,34 @@ def train(cfg, stop_event=None):
     the loop checkpoints to {ckpt}_autosave at the next metrics boundary
     and returns. The CLI wires SIGTERM/SIGINT to it (TPU pods preempt with
     a grace window); library callers may set it directly."""
+    from dualvgr_tpu.parallel import maybe_initialize_distributed, process_batch_bounds
+
+    # distributed bring-up FIRST: the train loader's host-sharded mode needs
+    # jax.process_count()/index, and the mesh must span all hosts
+    if maybe_initialize_distributed():
+        logging.info("jax.distributed initialized (multi-host)")
+    mesh = mesh_for(cfg)
+    logging.info("device mesh: %s over %s", dict(mesh.shape), jax.devices()[0].platform)
+
+    # host-sharded train loading: each host gathers only its contiguous
+    # slice of the global batch (verified against the mesh's actual row
+    # ownership); validation keeps global loading — every host sees the
+    # full val set, matching the reference's accuracy bookkeeping
+    host_index, host_count = 0, 1
+    if jax.process_count() > 1:
+        bs, per = cfg.train.batch_size, cfg.train.batch_size // jax.process_count()
+        lo, hi = process_batch_bounds(mesh, cfg.tpu.mesh_axis, bs)
+        if (lo, hi) == (jax.process_index() * per, (jax.process_index() + 1) * per):
+            host_index, host_count = jax.process_index(), jax.process_count()
+            logging.info(
+                "host-sharded loading: rows [%d, %d) of each global batch", lo, hi
+            )
+        else:
+            logging.warning(
+                "process rows %s not the canonical slice; falling back to "
+                "global loading on every host", (lo, hi),
+            )
+
     logging.info("Create train_loader and val_loader.........")
     train_loader = VideoQADataLoader(
         question_pt=cfg.dataset.train_question_pt,
@@ -88,6 +116,8 @@ def train(cfg, stop_event=None):
         seed=cfg.seed,
         feature_cache_gb=cfg.tpu.feature_cache_gb,
         prefetch=cfg.tpu.prefetch,
+        host_index=host_index,
+        host_count=host_count,
     )
     logging.info("number of train instances: %d", train_loader.num_samples)
     val_loader = None
@@ -108,12 +138,6 @@ def train(cfg, stop_event=None):
         logging.info("number of val instances: %d", val_loader.num_samples)
 
     logging.info("Create model.........")
-    from dualvgr_tpu.parallel import maybe_initialize_distributed
-
-    if maybe_initialize_distributed():
-        logging.info("jax.distributed initialized (multi-host)")
-    mesh = mesh_for(cfg)
-    logging.info("device mesh: %s over %s", dict(mesh.shape), jax.devices()[0].platform)
     model = build_model(cfg, train_loader.vocab)
 
     steps_per_epoch = len(train_loader)
@@ -198,7 +222,8 @@ def train(cfg, stop_event=None):
                 )
 
         device_batches = prefetch_to_device(
-            host_batches(), mesh, cfg.tpu.mesh_axis, size=cfg.tpu.prefetch
+            host_batches(), mesh, cfg.tpu.mesh_axis, size=cfg.tpu.prefetch,
+            local=host_count > 1,
         )
         for i, device_batch in enumerate(device_batches):
             state, metrics = step_fn(state, device_batch)
