@@ -97,6 +97,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=32)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument(
+        "--chain", action="store_true",
+        help="time conv+bn+relu+maxpool chains (s2d vs t2d vs folded-bn t2d)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -196,18 +200,25 @@ def main():
                     kt2 = kt2.at[ft, :, :, pt, :, q, :].set(ks[ktap])
     kt2 = kt2.reshape(4, 4, 4, 24, 128)
 
-    def t2d(x):
+    def t2d_folded(x):
+        """t2d conv output kept in FOLDED layout (B, 8, 56, 56, 2*64)."""
         xf = fold_s2d(x)  # (B, 16, 56, 56, 12)
         b = xf.shape[0]
         xp = jnp.pad(xf, ((0, 0), (3, 3), (0, 0), (0, 0), (0, 0)))
         x2 = xp.reshape(b, 11, 2, 56, 56, 12).transpose(0, 1, 3, 4, 2, 5)
         x2 = x2.reshape(b, 11, 56, 56, 24)
-        y = jax.lax.conv_general_dilated(
+        return jax.lax.conv_general_dilated(
             x2, kt2.astype(x.dtype), (1, 1, 1), [(0, 0), (2, 1), (2, 1)],
             dimension_numbers=dn,
         )  # (B, 8, 56, 56, 128)
+
+    def t2d_unfold(y):
+        b = y.shape[0]
         y = y.reshape(b, 8, 56, 56, 2, 64).transpose(0, 1, 4, 2, 3, 5)
         return y.reshape(b, 16, 56, 56, 64)
+
+    def t2d(x):
+        return t2d_unfold(t2d_folded(x))
 
     # same folding, but the 4 folded-T taps as 4 accumulated (1, 4, 4) convs
     # (the PROVEN-fast kernel shape) — trades 3 extra output round-trips for
@@ -252,6 +263,57 @@ def main():
         )  # (B, 4, 56, 56, 256)
         y = y.reshape(b, 4, 56, 56, 4, 64).transpose(0, 1, 4, 2, 3, 5)
         return y.reshape(b, 16, 56, 56, 64)
+
+    if args.chain:
+        # the stem never runs alone: time conv -> BN(inference affine) ->
+        # relu -> maxpool. The in-network t2d loss (extraction_bench
+        # --stem-ab) is diagnosed as the un-interleave transpose breaking
+        # this fusion chain; t2d_foldbn applies the affine+relu IN the
+        # folded layout (params tiled 2x) so the transpose moves next to
+        # the pool.
+        scale = jnp.asarray(rng.rand(64).astype(np.float32)) + 0.5
+        bias = jnp.asarray(rng.randn(64).astype(np.float32))
+        scale2 = jnp.concatenate([scale, scale])
+        bias2 = jnp.concatenate([bias, bias])
+
+        def pool(z):
+            return jax.lax.reduce_window(
+                z, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+                ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),
+            )
+
+        def chain_s2d(x):
+            y = s2d(x)
+            return pool(jax.nn.relu(y * scale.astype(y.dtype) + bias.astype(y.dtype)))
+
+        def chain_t2d(x):
+            y = t2d(x)
+            return pool(jax.nn.relu(y * scale.astype(y.dtype) + bias.astype(y.dtype)))
+
+        def chain_t2d_foldbn(x):
+            yf = t2d_folded(x)
+            z = jax.nn.relu(yf * scale2.astype(yf.dtype) + bias2.astype(yf.dtype))
+            return pool(t2d_unfold(z))
+
+        ref = chain_s2d(x[:2])
+        for name, fn in (("chain_t2d", chain_t2d), ("chain_t2d_foldbn", chain_t2d_foldbn)):
+            got = fn(x[:2])
+            err = float(jnp.max(jnp.abs(got - ref)))
+            assert got.shape == ref.shape and err < 1e-3, (name, err)
+
+        out = {"clips": B}
+        for name, fn in (
+            ("chain_s2d", chain_s2d),
+            ("chain_t2d", chain_t2d),
+            ("chain_t2d_foldbn", chain_t2d_foldbn),
+        ):
+            out[f"{name}_ms"] = round(chain_time(fn, x, args.steps) * 1e3, 3)
+            print(f"# {name}: {out[f'{name}_ms']}", flush=True)
+            xb = x.astype(jnp.bfloat16)
+            out[f"{name}_bf16_ms"] = round(chain_time(fn, xb, args.steps) * 1e3, 3)
+            print(f"# {name}_bf16: {out[f'{name}_bf16_ms']}", flush=True)
+        print(json.dumps(out))
+        return
 
     # numeric check on device before timing
     ref = base(x[:2])

@@ -16,6 +16,11 @@ self-contained; loading returns a callable with the exact
 ``predict_fn(app, mot, q, qlen) -> (top_ids, top_probs)`` contract that
 ``dualvgr_tpu.serving.BatchingEngine`` and serve.py consume.
 
+The TPU-fast defaults survive export: Mosaic (Pallas) custom calls are on
+``jax.export``'s stable-ABI allowlist, and a ``use_pallas=True`` artifact
+was verified to serialize, deserialize and execute bit-identically to the
+live model on a real v5e.
+
 CLI (mirrors serve.py's checkpoint/feature plumbing)::
 
     python -m dualvgr_tpu.export --cfg configs/msvd_qa_DualVGR.yml \
