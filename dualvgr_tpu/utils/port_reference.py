@@ -1,21 +1,32 @@
-"""Load reference (PyTorch DualVGR-VideoQA) checkpoints into this framework.
+"""Checkpoint interchange with the reference (PyTorch DualVGR-VideoQA).
 
 Maps the reference model's ``state_dict`` names (reference model/models.py
 module tree: linguistic_input_unit.concatRNN.rnn / encoder LSTMs,
 visual_input_unit.{queryAttn,queryPunish_*,acGCN,appearance_GCN,mcGCN,
 motion_GCN,attention_*,visualfusion}, feature_aggregation, output_unit
-Sequential classifier indices 1/3/5) onto this framework's flax tree, so a
-user switching from the reference can keep their trained checkpoints:
+Sequential classifier indices 1/3/5) onto this framework's flax tree — and
+back — so a user switching from the reference keeps their trained
+checkpoints in BOTH directions:
 
-    import torch
-    from dualvgr_tpu.utils.port_reference import port_reference_state_dict
-    ckpt = torch.load("..._model.pt", map_location="cpu")
-    variables = port_reference_state_dict(ckpt["state_dict"],
-                                          unit_layers=..., graph_layers=1)
+    # reference *_model.pt  ->  orbax checkpoint all drivers here read
+    # (validate.py / predict.py / serve.py / train.py restore)
+    python -m dualvgr_tpu.utils.port_reference import \
+        results/exp/ckpt/..._model.pt results/exp/ckpt
+
+    # our orbax checkpoint  ->  *_model.pt the reference's validate.py
+    # can torch.load + load_state_dict (strict) directly
+    python -m dualvgr_tpu.utils.port_reference export \
+        results/exp/ckpt /tmp/exported_model.pt
+
+Library surface: ``port_reference_state_dict`` (torch state_dict -> flax
+variables), ``export_reference_state_dict`` (its exact inverse),
+``convert_reference_checkpoint`` / ``convert_to_reference`` (whole-file
+conversions, epoch + model_kwargs preserved).
 
 Verified end to end against the actual reference implementation when it is
 available (tests/test_reference_port.py): random reference weights ported
-through this mapping produce matching eval logits.
+through this mapping produce matching eval logits, and an exported
+state_dict strict-loads into the reference model and matches ours.
 
 Note on GAT banks: the reference indexes its banks ``[i+j]`` which reuses
 layers when graph_layers > 1 (reference models.py:151-158, SURVEY 2.11-3);
@@ -156,3 +167,327 @@ def load_reference_checkpoint(path: str, unit_layers: int, graph_layers: int = 1
     sd = ckpt["state_dict"] if isinstance(ckpt, dict) and "state_dict" in ckpt else ckpt
     kwargs = ckpt.get("model_kwargs", {}) if isinstance(ckpt, dict) else {}
     return port_reference_state_dict(sd, unit_layers, graph_layers), kwargs
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: flax variables -> reference state_dict
+# ---------------------------------------------------------------------------
+
+
+def _inv_linear(params, prefix, out, bias=True):
+    out[f"{prefix}.weight"] = np.asarray(params["kernel"]).T
+    if bias:
+        out[f"{prefix}.bias"] = np.asarray(params["bias"])
+
+
+def _inv_lstm(params, prefix, out):
+    for sfx, d in (("", "fwd"), ("_reverse", "bwd")):
+        out[f"{prefix}.weight_ih_l0{sfx}"] = np.asarray(params[f"w_ih_{d}"]).T
+        out[f"{prefix}.weight_hh_l0{sfx}"] = np.asarray(params[f"w_hh_{d}"]).T
+        out[f"{prefix}.bias_ih_l0{sfx}"] = np.asarray(params[f"b_ih_{d}"])
+        out[f"{prefix}.bias_hh_l0{sfx}"] = np.asarray(params[f"b_hh_{d}"])
+
+
+def _inv_gat(params, prefix, out):
+    wk = np.asarray(params["w_kernel"])  # (D, H, hd)
+    wb = np.asarray(params["w_bias"])  # (H, hd)
+    a = np.asarray(params["a"])  # (H, 2hd)
+    ab = np.asarray(params["a_bias"])  # (H,)
+    for h in range(wk.shape[1]):
+        out[f"{prefix}.attention_{h}.W.weight"] = wk[:, h, :].T
+        out[f"{prefix}.attention_{h}.W.bias"] = wb[h]
+        out[f"{prefix}.attention_{h}.a.weight"] = a[h : h + 1]
+        out[f"{prefix}.attention_{h}.a.bias"] = ab[h : h + 1]
+
+
+def _inv_sfgcn(params, prefix, out):
+    out[f"{prefix}.project.0.weight"] = np.asarray(params["proj_kernel"]).T
+    out[f"{prefix}.project.0.bias"] = np.asarray(params["proj_bias"])
+    # project.2 is Linear(hidden, 1, bias=False) (reference Attention.py:14-18)
+    out[f"{prefix}.project.2.weight"] = np.asarray(params["score_kernel"]).T
+
+
+def infer_layout(params: dict) -> tuple[int, int]:
+    """(unit_layers, graph_layers-bank-count) from a flax param tree."""
+    vu = params["visual_input_unit"]
+    units = sum(1 for k in vu if k.startswith("query_attn_"))
+    banks = sum(1 for k in vu if k.startswith("ac_gat_"))
+    return units, banks
+
+
+def export_reference_state_dict(variables: dict) -> dict:
+    """Flax {'params', 'batch_stats'} -> reference state_dict (numpy values).
+
+    The exact inverse of :func:`port_reference_state_dict`: the result
+    strict-loads into the reference ``DualVGR`` (verified in
+    tests/test_reference_port.py when the reference is mounted).
+    """
+    p = variables["params"]
+    bs = variables.get("batch_stats", {})
+    sd: dict = {}
+
+    li = p["linguistic_input_unit"]
+    sd["linguistic_input_unit.encoder_embed.weight"] = np.asarray(
+        li["encoder_embed"]["embedding"]
+    )
+    _inv_lstm(li["concat_rnn"], "linguistic_input_unit.concatRNN.rnn", sd)
+    _inv_lstm(li["encoder"], "linguistic_input_unit.encoder", sd)
+    _inv_lstm(
+        p["visual_appearance_input_unit"]["encoder"],
+        "visual_appearance_input_unit.encoder",
+        sd,
+    )
+    _inv_linear(p["visual_motion_input_unit"]["proj"], "visual_motion_input_unit", sd)
+
+    vu = p["visual_input_unit"]
+    unit_layers, banks = infer_layout(p)
+    for i in range(unit_layers):
+        _inv_linear(
+            vu[f"query_attn_{i}"]["feat_enhance"],
+            f"visual_input_unit.queryAttn.{i}.feat_enhance",
+            sd,
+        )
+        _inv_linear(vu[f"query_attn_{i}"]["fc"], f"visual_input_unit.queryAttn.{i}.fc", sd)
+        _inv_linear(
+            vu[f"query_punish_appear_{i}"]["query_weight"],
+            f"visual_input_unit.queryPunish_appear.{i}.query_weight",
+            sd,
+        )
+        _inv_linear(
+            vu[f"query_punish_motion_{i}"]["query_weight"],
+            f"visual_input_unit.queryPunish_motion.{i}.query_weight",
+            sd,
+        )
+        _inv_sfgcn(
+            vu[f"attention_appearance_{i}"], f"visual_input_unit.attention_appearance.{i}", sd
+        )
+        _inv_sfgcn(vu[f"attention_motion_{i}"], f"visual_input_unit.attention_motion.{i}", sd)
+    for k in range(banks):
+        _inv_gat(vu[f"ac_gat_{k}"], f"visual_input_unit.acGCN.{k}", sd)
+        _inv_gat(vu[f"appearance_gat_{k}"], f"visual_input_unit.appearance_GCN.{k}", sd)
+        _inv_gat(vu[f"mc_gat_{k}"], f"visual_input_unit.mcGCN.{k}", sd)
+        _inv_gat(vu[f"motion_gat_{k}"], f"visual_input_unit.motion_GCN.{k}", sd)
+    _inv_linear(vu["visual_fusion"]["linear0"], "visual_input_unit.visualfusion.linear0", sd)
+    _inv_linear(vu["visual_fusion"]["linear1"], "visual_input_unit.visualfusion.linear1", sd)
+    _inv_linear(
+        vu["visual_fusion"]["linear_out"], "visual_input_unit.visualfusion.linear_out", sd
+    )
+
+    _inv_linear(p["feature_aggregation"]["v_proj"], "feature_aggregation.v_proj", sd, bias=False)
+    _inv_linear(p["feature_aggregation"]["attn"], "feature_aggregation.attn", sd)
+
+    ou = p["output_unit"]
+    _inv_linear(ou["question_proj"], "output_unit.question_proj", sd)
+    _inv_linear(ou["fc1"], "output_unit.classifier.1", sd)
+    sd["output_unit.classifier.3.weight"] = np.asarray(ou["bn"]["scale"])
+    sd["output_unit.classifier.3.bias"] = np.asarray(ou["bn"]["bias"])
+    bn_stats = bs["output_unit"]["bn"]
+    sd["output_unit.classifier.3.running_mean"] = np.asarray(bn_stats["mean"])
+    sd["output_unit.classifier.3.running_var"] = np.asarray(bn_stats["var"])
+    # torch BatchNorm1d tracks this; strict load_state_dict requires the key
+    # (the value plays no part in eval math)
+    sd["output_unit.classifier.3.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+    _inv_linear(ou["classifier"], "output_unit.classifier.5", sd)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Whole-checkpoint conversions (CLI surface)
+# ---------------------------------------------------------------------------
+
+
+def infer_unit_layers(sd: dict) -> int:
+    """unit_layers from a reference state_dict (bank count of queryAttn).
+
+    NOTE: reference train.py never forwards --unit_layers into the model
+    (SURVEY 2.11-1), so checkpoints trained with the reference CLI hold the
+    signature default of 2 banks regardless of the flag — inference from the
+    state_dict is therefore MORE trustworthy than the training command line.
+    """
+    units = {
+        int(k.split(".")[2])
+        for k in sd
+        if k.startswith("visual_input_unit.queryAttn.") and k.endswith(".fc.weight")
+    }
+    if not units:
+        raise ValueError("no visual_input_unit.queryAttn.* keys: not a DualVGR state_dict")
+    return max(units) + 1
+
+
+def convert_reference_checkpoint(
+    pt_path: str,
+    ckpt_dir: str,
+    num_of_nodes: int | None = None,
+    question_len: int = 20,
+) -> dict:
+    """Reference *_model.pt -> orbax checkpoint under ``ckpt_dir``.
+
+    The result is byte-for-byte the format this framework's train.py writes:
+    validate.py / predict.py / serve.py consume it unchanged, and
+    ``train.restore: True`` resumes from it (with a FRESH optimizer state —
+    torch Adam moments are not portable). Architecture hyperparameters come
+    from the checkpoint's own model_kwargs (reference train.py:359-367);
+    unit_layers and vocabulary sizes are inferred from the weights
+    themselves. Returns the saved model_kwargs.
+    """
+    import torch
+
+    import jax
+
+    from dualvgr_tpu import train_lib
+    from dualvgr_tpu.models.dualvgr import DualVGR
+    from dualvgr_tpu.utils.checkpoint import save_checkpoint
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
+    sd = ckpt["state_dict"] if isinstance(ckpt, dict) and "state_dict" in ckpt else ckpt
+    sd = {
+        (k[len("module."):] if k.startswith("module.") else k): v for k, v in sd.items()
+    }
+    ref_kwargs = ckpt.get("model_kwargs", {}) if isinstance(ckpt, dict) else {}
+    epoch = int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0
+
+    emb = _t(sd, "linguistic_input_unit.encoder_embed.weight")
+    motion_w = _t(sd, "visual_motion_input_unit.weight")
+    cls_w = _t(sd, "output_unit.classifier.5.weight")
+    unit_layers = infer_unit_layers(sd)
+    graph_layers = int(ref_kwargs.get("graph_layers", 1))
+    kwargs = {
+        "vision_dim": int(ref_kwargs.get("vision_dim", motion_w.shape[1])),
+        "module_dim": int(ref_kwargs.get("module_dim", motion_w.shape[0])),
+        "word_dim": int(ref_kwargs.get("word_dim", emb.shape[1])),
+        "num_of_nodes": int(
+            num_of_nodes if num_of_nodes is not None else ref_kwargs.get("num_of_nodes", 0)
+        ),
+        "graph_module": str(ref_kwargs.get("graph_module", "GAT")),
+        "graph_layers": graph_layers,
+        "unit_layers": unit_layers,
+    }
+    if kwargs["num_of_nodes"] <= 0:
+        raise ValueError(
+            "num_of_nodes is not recorded in this checkpoint's model_kwargs "
+            "and cannot be inferred from weights; pass --num_of_nodes "
+            "(= the num_clips the features were extracted with: 8 msvd / "
+            "16 msrvtt / 20 svqa)"
+        )
+
+    variables = port_reference_state_dict(sd, unit_layers, graph_layers)
+
+    model = DualVGR(
+        vision_dim=kwargs["vision_dim"],
+        module_dim=kwargs["module_dim"],
+        word_dim=kwargs["word_dim"],
+        question_vocab_size=int(emb.shape[0]),
+        num_answers=int(cls_w.shape[0]),
+        num_of_nodes=kwargs["num_of_nodes"],
+        graph_layers=graph_layers,
+        unit_layers=unit_layers,
+        graph_module=kwargs["graph_module"],
+    )
+    example = (
+        np.zeros((1, kwargs["num_of_nodes"], 16, kwargs["vision_dim"]), np.float32),
+        np.zeros((1, kwargs["num_of_nodes"], kwargs["vision_dim"]), np.float32),
+        np.ones((1, question_len), np.int32),
+        np.asarray([question_len], np.int32),
+    )
+    optimizer = train_lib.make_optimizer(1e-4, 1)
+    state = train_lib.create_train_state(model, jax.random.key(0), example, optimizer)
+
+    # structural gate: the ported tree must be EXACTLY the init tree's
+    # structure/shapes — mismatches name the offending paths
+    def paths(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {jax.tree_util.keystr(k): tuple(np.shape(v)) for k, v in flat}
+
+    for name, live, ported in (
+        ("params", state.params, variables["params"]),
+        ("batch_stats", state.batch_stats, variables["batch_stats"]),
+    ):
+        a, b = paths(live), paths(ported)
+        if a != b:
+            diff = sorted(set(a.items()) ^ set(b.items()))
+            raise ValueError(f"ported {name} tree != model tree; differing: {diff[:10]}")
+
+    cast = lambda ported, live: jax.tree_util.tree_map(
+        lambda x, y: np.asarray(x, dtype=y.dtype), ported, jax.device_get(live)
+    )
+    state = state.replace(
+        params=cast(variables["params"], state.params),
+        batch_stats=cast(variables["batch_stats"], state.batch_stats),
+    )
+    save_checkpoint(ckpt_dir, epoch, state, kwargs)
+    return kwargs
+
+
+def convert_to_reference(ckpt_dir: str, pt_path: str) -> dict:
+    """Orbax checkpoint (as written by train.py here) -> reference *_model.pt.
+
+    The output torch.load()s in the reference's validate.py flow: {'epoch',
+    'state_dict' (strict-loadable), 'optimizer': None, 'model_kwargs'} with
+    exactly the reference's model_kwargs key set (train.py:359-367 there —
+    no unit_layers key; pass --unit_layers to their validate.py, matching
+    this checkpoint's bank count). Returns the model_kwargs written.
+    """
+    import os
+
+    import torch
+    import orbax.checkpoint as ocp
+
+    from dualvgr_tpu.utils.checkpoint import load_model_kwargs
+
+    state_path = os.path.abspath(os.path.join(ckpt_dir, "model", "state"))
+    with ocp.StandardCheckpointer() as ck:
+        tree = ck.restore(state_path)
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    sd = export_reference_state_dict(variables)
+    # torch.tensor copies — required: orbax hands back non-writable arrays
+    ref_sd = {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}
+    kw = load_model_kwargs(ckpt_dir)
+    ref_kwargs = {
+        k: kw[k]
+        for k in (
+            "vision_dim", "module_dim", "word_dim", "num_of_nodes",
+            "graph_module", "graph_layers",
+        )
+        if k in kw
+    }
+    torch.save(
+        {
+            "epoch": int(tree.get("epoch", 0)),
+            "state_dict": ref_sd,
+            "optimizer": None,
+            "model_kwargs": ref_kwargs,
+        },
+        pt_path,
+    )
+    return ref_kwargs
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Checkpoint interchange with the reference DualVGR-VideoQA"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    imp = sub.add_parser("import", help="reference *_model.pt -> orbax ckpt dir")
+    imp.add_argument("pt_path")
+    imp.add_argument("ckpt_dir")
+    imp.add_argument(
+        "--num_of_nodes", type=int, default=None,
+        help="num_clips of the features (only needed for checkpoints whose "
+        "model_kwargs lack it)",
+    )
+    exp = sub.add_parser("export", help="orbax ckpt dir -> reference *_model.pt")
+    exp.add_argument("ckpt_dir")
+    exp.add_argument("pt_path")
+    args = ap.parse_args(argv)
+    if args.cmd == "import":
+        kw = convert_reference_checkpoint(args.pt_path, args.ckpt_dir, args.num_of_nodes)
+        print(f"wrote {args.ckpt_dir}: {kw}")
+    else:
+        kw = convert_to_reference(args.ckpt_dir, args.pt_path)
+        print(f"wrote {args.pt_path}: {kw}")
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,59 @@ def test_ported_reference_weights_match_logits(rng, reference_modelset, unit_lay
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.parametrize("unit_layers", [1, 2])
+def test_exported_state_dict_strict_loads_into_reference(
+    rng, reference_modelset, unit_layers
+):
+    """export_reference_state_dict output strict-loads into the ACTUAL
+    reference DualVGR and reproduces its logits — the checkpoint-export
+    direction of the interchange CLI, proven against the reference's own
+    load_state_dict key/shape contract."""
+    import torch
+
+    from dualvgr_tpu.utils.port_reference import (
+        export_reference_state_dict,
+        port_reference_state_dict,
+    )
+
+    vocab = {
+        "question_token_to_idx": {f"w{i}": i for i in range(30)},
+        "answer_token_to_idx": {f"a{i}": i for i in range(9)},
+    }
+    torch.manual_seed(11)
+    ref = reference_modelset.DualVGR(
+        vision_dim=14, module_dim=16, word_dim=10, vocab=vocab,
+        num_of_nodes=4, graph_module="GAT", graph_layers=1,
+        unit_layers=unit_layers,
+    ).eval()
+
+    variables = port_reference_state_dict(ref.state_dict(), unit_layers, 1)
+    exported = export_reference_state_dict(variables)
+    assert set(exported) == set(dict(ref.state_dict()))
+
+    torch.manual_seed(12)  # different init: loading must overwrite everything
+    ref2 = reference_modelset.DualVGR(
+        vision_dim=14, module_dim=16, word_dim=10, vocab=vocab,
+        num_of_nodes=4, graph_module="GAT", graph_layers=1,
+        unit_layers=unit_layers,
+    ).eval()
+    ref2.load_state_dict(
+        {k: torch.tensor(np.asarray(v)) for k, v in exported.items()}, strict=True
+    )
+
+    b, t = 4, 7
+    app = rng.randn(b, 4, 3, 14).astype(np.float32)
+    mot = rng.randn(b, 4, 14).astype(np.float32)
+    q = rng.randint(1, 30, (b, t)).astype(np.int64)
+    qlen = np.full((b,), t, np.int64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(app), torch.from_numpy(mot),
+                   torch.from_numpy(q), torch.from_numpy(qlen))[0].numpy()
+        got = ref2(torch.from_numpy(app), torch.from_numpy(mot),
+                   torch.from_numpy(q), torch.from_numpy(qlen))[0].numpy()
+    np.testing.assert_array_equal(got, want)
+
+
 def test_ported_aux_outputs_match(rng, reference_modelset):
     """The auxiliary embeddings feeding the losses also agree."""
     import torch
