@@ -407,12 +407,14 @@ def convert_reference_checkpoint(
             diff = sorted(set(a.items()) ^ set(b.items()))
             raise ValueError(f"ported {name} tree != model tree; differing: {diff[:10]}")
 
-    cast = lambda ported, live: jax.tree_util.tree_map(
-        lambda x, y: np.asarray(x, dtype=y.dtype), ported, jax.device_get(live)
-    )
+    def cast_like(ported, live):
+        return jax.tree_util.tree_map(
+            lambda x, y: np.asarray(x, dtype=y.dtype), ported, jax.device_get(live)
+        )
+
     state = state.replace(
-        params=cast(variables["params"], state.params),
-        batch_stats=cast(variables["batch_stats"], state.batch_stats),
+        params=cast_like(variables["params"], state.params),
+        batch_stats=cast_like(variables["batch_stats"], state.batch_stats),
     )
     save_checkpoint(ckpt_dir, epoch, state, kwargs)
     return kwargs
