@@ -93,6 +93,10 @@ def test_dryrun_multichip_scales(n_devices):
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO
+    # share the suite's persistent compile cache (conftest.py sets it only
+    # in-process): warm re-runs skip the 16/32-device XLA compiles
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache_cpu")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     proc = subprocess.run(
         [sys.executable, "__graft_entry__.py", str(n_devices)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900,

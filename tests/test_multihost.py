@@ -34,6 +34,11 @@ def _spawn_workers(port, extra_env=None):
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
             PYTHONPATH=REPO,
+            # NOTE: deliberately NOT sharing the persistent compile cache
+            # with the workers: XLA:CPU AOT entries written by ordinary
+            # processes fail to load inside jax.distributed workers
+            # ("+prefer-no-scatter is not supported on the host machine",
+            # cpu_aot_loader.cc) — measured here, both tests fail with it
             **(extra_env or {}),
         )
         env.pop("JAX_PLATFORMS", None)  # the worker pins cpu itself
@@ -68,16 +73,28 @@ def _parse(outs, tag):
     return results
 
 
-def test_two_process_train_step():
-    outs = _spawn_workers(_free_port())
-    results = _parse(outs, "MULTIHOST")
+@pytest.fixture(scope="module")
+def worker_outs(synth_dir):
+    """ONE 2-process spawn serves both tests: the worker always runs the
+    replicated train/eval step (MULTIHOST lines) and, given the synth dir,
+    the host-sharded loader phase too (MULTIHOST_LOADER lines). Each spawn
+    pays full jax.distributed bring-up + uncached XLA compiles (~150 s on
+    this box — workers can't use the persistent cache, see _spawn_workers),
+    so sharing it halves the file's wall time."""
+    return _spawn_workers(
+        _free_port(), extra_env={"MULTIHOST_SYNTH_DIR": synth_dir["dir"]}
+    )
+
+
+def test_two_process_train_step(worker_outs):
+    results = _parse(worker_outs, "MULTIHOST")
     # both processes computed the SAME global step: identical loss + logits
     assert results[0] == results[1], results
     loss = float(results[0][0].split("=")[1])
     assert 0.0 < loss < 50.0, loss
 
 
-def test_two_process_hostsharded_loader(synth_dir):
+def test_two_process_hostsharded_loader(worker_outs, synth_dir):
     """Each process gathers only ITS rows of the global batch (loader
     host_index/host_count + shard_batch_local); the train-step loss must
     equal a single-process run over the full batch — host-sharded loading
@@ -85,10 +102,7 @@ def test_two_process_hostsharded_loader(synth_dir):
     import jax
     import numpy as np
 
-    outs = _spawn_workers(
-        _free_port(), extra_env={"MULTIHOST_SYNTH_DIR": synth_dir["dir"]}
-    )
-    results = _parse(outs, "MULTIHOST_LOADER")
+    results = _parse(worker_outs, "MULTIHOST_LOADER")
     assert results[0] == results[1], results
     worker_loss = float(results[0][0].split("=")[1])
 
