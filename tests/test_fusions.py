@@ -161,9 +161,8 @@ def test_gcn_graph_module_trains(rng):
     ans = rng.randint(0, 7, (b,)).astype(np.int32)
     opt = train_lib.make_optimizer(1e-3, 10)
     state = train_lib.create_train_state(model, jax.random.PRNGKey(0), (app, mot, q, qlen), opt)
-    state, metrics = train_lib.train_step(
-        state, (app, mot, q, qlen, ans), model=model, optimizer=opt, alpha=1.0, beta=1e-8
-    )
+    step = train_lib.jit_train_step(model, opt, 1.0, 1e-8, donate=False)
+    state, metrics = step(state, (app, mot, q, qlen, ans))
     assert np.isfinite(float(metrics["loss"]))
 
 

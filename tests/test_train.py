@@ -66,14 +66,10 @@ def test_masked_final_batch_equals_unpadded(rng):
     for arr in (app, mot, q, qlen, ans):
         arr[true_b:] = arr[true_b - 1]
 
-    _, m_pad = train_lib.train_step(
-        state, (app, mot, q, qlen, ans, valid), model=model, optimizer=opt,
-        alpha=1.0, beta=1e-8,
-    )
-    _, m_true = train_lib.train_step(
-        state,
-        (app[:true_b], mot[:true_b], q[:true_b], qlen[:true_b], ans[:true_b]),
-        model=model, optimizer=opt, alpha=1.0, beta=1e-8,
+    step = train_lib.jit_train_step(model, opt, 1.0, 1e-8, donate=False)
+    _, m_pad = step(state, (app, mot, q, qlen, ans, valid))
+    _, m_true = step(
+        state, (app[:true_b], mot[:true_b], q[:true_b], qlen[:true_b], ans[:true_b])
     )
     np.testing.assert_allclose(float(m_pad["ce"]), float(m_true["ce"]), rtol=2e-4)
     np.testing.assert_allclose(float(m_pad["loss"]), float(m_true["loss"]), rtol=2e-3)
@@ -138,9 +134,8 @@ def test_checkpoint_roundtrip(rng, tmp_path):
     state = train_lib.create_train_state(
         model, jax.random.PRNGKey(3), (app, mot, q, qlen), opt
     )
-    state, _ = train_lib.train_step(
-        state, (app, mot, q, qlen, ans), model=model, optimizer=opt, alpha=1.0, beta=0.0
-    )
+    step = train_lib.jit_train_step(model, opt, alpha=1.0, beta=0.0, donate=False)
+    state, _ = step(state, (app, mot, q, qlen, ans))
     kwargs = {"vision_dim": 24, "module_dim": 16}
     save_checkpoint(str(tmp_path), 3, state, kwargs)
 
@@ -156,12 +151,8 @@ def test_checkpoint_roundtrip(rng, tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # restored state continues training identically
-    _, m1 = train_lib.train_step(
-        state, (app, mot, q, qlen, ans), model=model, optimizer=opt, alpha=1.0, beta=0.0
-    )
-    _, m2 = train_lib.train_step(
-        restored, (app, mot, q, qlen, ans), model=model, optimizer=opt, alpha=1.0, beta=0.0
-    )
+    _, m1 = step(state, (app, mot, q, qlen, ans))
+    _, m2 = step(restored, (app, mot, q, qlen, ans))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
 
 
