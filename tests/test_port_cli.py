@@ -91,6 +91,7 @@ def _fake_reference_pt(state, path, epoch=7):
     )
 
 
+@pytest.mark.slow
 def test_export_is_exact_inverse_of_import(batch):
     """flax -> reference names -> flax reproduces every leaf bit-exactly."""
     model, state = _tiny_state()
@@ -108,6 +109,7 @@ def test_export_is_exact_inverse_of_import(batch):
         np.testing.assert_array_equal(np.asarray(v), flat_b[jax.tree_util.keystr(k)])
 
 
+@pytest.mark.slow
 def test_import_cli_roundtrip(tmp_path, batch):
     """Synthesized reference .pt -> orbax ckpt -> driver-style restore ->
     identical logits; epoch and model_kwargs survive."""
