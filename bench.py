@@ -91,9 +91,32 @@ def _stage(msg):
     print(f"# bench +{time.time() - _T_START:.0f}s {msg}", file=sys.stderr)
 
 
+def _require_devices(timeout_s: float):
+    """Fail FAST if backend init hangs (a dead axon tunnel blocks
+    jax.devices() indefinitely — observed >3 h; a live one answers in
+    seconds). Runs discovery in a daemon thread so a hang can't wedge the
+    caller; once it returns, the backend is initialized for the process."""
+    import threading
+
+    import jax
+
+    out: list = []
+    th = threading.Thread(target=lambda: out.append(jax.devices()), daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not out:
+        raise SystemExit(
+            f"bench: no JAX devices after {timeout_s:.0f}s — backend/tunnel "
+            "down? (override with BENCH_DEVICE_TIMEOUT)"
+        )
+    return out[0]
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _require_devices(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600")))
 
     # first-compile of the flagship programs costs minutes on a tunneled
     # backend; the persistent cache makes repeat bench runs start in seconds
