@@ -65,6 +65,16 @@ def main(argv=None):
     # rebuild model from saved kwargs + fresh vocab + CLI unit_layers
     # (reference validate.py:281-284)
     kw = load_model_kwargs(ckpt_dir)
+    if "unit_layers" in kw and kw["unit_layers"] != args.unit_layers:
+        # a mismatch otherwise surfaces as an opaque orbax tree-structure
+        # error; common with IMPORTED reference checkpoints, which hold 2
+        # banks regardless of the training flag (the reference trainer
+        # never forwards --unit_layers, reference train.py:58-66)
+        logging.warning(
+            "checkpoint was saved with unit_layers=%d but --unit_layers=%d; "
+            "restore will fail unless they match",
+            kw["unit_layers"], args.unit_layers,
+        )
     vocab = test_loader.vocab
     model = DualVGR(
         vision_dim=kw["vision_dim"],
