@@ -24,6 +24,7 @@ import sys
 
 import numpy as np
 
+from dualvgr_tpu import config as config_mod
 from dualvgr_tpu.config import cfg_from_file, model_runtime_kwargs, resolve_dataset_paths
 from dualvgr_tpu.data.vocab import load_vocab
 from dualvgr_tpu.models import DualVGR
@@ -33,8 +34,10 @@ from dualvgr_tpu.utils.checkpoint import load_model_kwargs, restore_checkpoint
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from preprocess.datautils import utils as datautils  # noqa: E402
-from preprocess.datautils.questions_common import tokenize_question  # noqa: E402
+from preprocess.datautils.questions_common import (  # noqa: E402
+    encode_tokens,
+    tokenize_question,
+)
 from preprocess.preprocess_features import (  # noqa: E402
     build_appearance_extractor,
     build_motion_extractor,
@@ -51,6 +54,10 @@ def main(argv=None):
     p.add_argument("--appearance_ckpt", default="")
     p.add_argument("--motion_ckpt", default="")
     p.add_argument("--topk", type=int, default=5)
+    # reduced resolutions mirror preprocess_features' flags: random-weight
+    # smoke runs (and the e2e test) don't need the full 224/112 cost
+    p.add_argument("--appearance_size", type=int, default=224)
+    p.add_argument("--motion_size", type=int, default=112)
     args = p.parse_args(argv)
     if len(args.video) != len(args.question):
         if len(args.video) == 1:
@@ -71,23 +78,29 @@ def main(argv=None):
     app_extract = build_appearance_extractor(args.appearance_ckpt, mesh)
     mot_extract = build_motion_extractor(args.motion_ckpt, mesh)
     app_feats, mot_feats = [], []
+    def pad_rows(x):
+        """Pad the leading dim up to a mesh.size multiple by cycling rows
+        (a plain x[:pad] tail under-pads whenever pad > len(x), e.g.
+        num_clips=2 on an 8-device mesh)."""
+        pad = (-len(x)) % mesh.size
+        if not pad:
+            return x
+        return x[np.arange(len(x) + pad) % len(x)]
+
+    a_hw = (args.appearance_size, args.appearance_size)
+    m_hw = (args.motion_size, args.motion_size)
     for path in args.video:
         clips_a, ok_a = extract_clips_with_consecutive_frames(
-            path, num_clips, 16, (224, 224), motion_layout=False
+            path, num_clips, 16, a_hw, motion_layout=False
         )
         clips_m, ok_m = extract_clips_with_consecutive_frames(
-            path, num_clips, 16, (112, 112), motion_layout=True
+            path, num_clips, 16, m_hw, motion_layout=True
         )
         if not (ok_a and ok_m):
             print(f"WARNING: failed to decode {path}; using zero features")
-        frames = clips_a.reshape(num_clips * 16, 3, 224, 224)
-        pad = (-len(frames)) % mesh.size
-        if pad:
-            frames = np.concatenate([frames, frames[:pad]], 0)
+        frames = pad_rows(clips_a.reshape(num_clips * 16, 3, *a_hw))
         app = app_extract(frames)[: num_clips * 16].reshape(num_clips, 16, 2048)
-        pad = (-num_clips) % mesh.size
-        cm = np.concatenate([clips_m, clips_m[:pad]], 0) if pad else clips_m
-        mot = mot_extract(cm)[:num_clips]
+        mot = mot_extract(pad_rows(clips_m))[:num_clips]
         app_feats.append(app)
         mot_feats.append(mot)
     app_feats = np.stack(app_feats).astype(np.float32)
@@ -95,8 +108,8 @@ def main(argv=None):
 
     # ---- stage 2: questions -> padded token ids
     encoded = [
-        datautils.encode(tokenize_question(q + "?" if not q.endswith("?") else q),
-                         vocab["question_token_to_idx"], allow_unk=True)
+        encode_tokens(tokenize_question(q if q.endswith("?") else q + "?"),
+                      vocab["question_token_to_idx"])
         for q in args.question
     ]
     qlen = np.asarray([len(e) for e in encoded], np.int32)
@@ -123,7 +136,7 @@ def main(argv=None):
 
     optimizer = train_lib.make_optimizer(cfg.train.lr, 1)
     state = train_lib.create_train_state(
-        model, jax.random.key(cfg.seed, impl=cfg.tpu.get("prng_impl", "threefry2x32")),
+        model, jax.random.key(cfg.seed, impl=config_mod.resolved_prng_impl(cfg)),
         (app_feats[:1], mot_feats[:1], questions[:1], qlen[:1]), optimizer,
     )
     _, state = restore_checkpoint(ckpt_dir, state)
