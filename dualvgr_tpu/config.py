@@ -137,6 +137,12 @@ def default_config() -> Config:
             # finished run deletes its autosave so restore keeps the
             # reference's best-checkpoint semantics.
             "autosave": True,
+            # structured metrics stream: one JSON object per line (train
+            # records at every log_every boundary, a val record per epoch)
+            # for dashboards/regression tooling — the machine-readable
+            # counterpart of the stdout ticker. '' = off; a relative path
+            # resolves under {save_dir}/log/.
+            "metrics_jsonl": "",
         },
     })
     return c

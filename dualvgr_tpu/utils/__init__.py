@@ -1,1 +1,6 @@
-from dualvgr_tpu.utils.logging import colored, setup_logging, train_ticker  # noqa: F401
+from dualvgr_tpu.utils.logging import (  # noqa: F401
+    MetricsWriter,
+    colored,
+    setup_logging,
+    train_ticker,
+)

@@ -10,6 +10,7 @@ termcolor isn't a baked-in dependency, so ANSI codes are emitted directly
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import sys
@@ -54,6 +55,40 @@ def setup_logging(save_dir: str | None = None, run_name: str = "run") -> logging
         fh.setFormatter(fmt)
         root.addHandler(fh)
     return root
+
+
+class MetricsWriter:
+    """Append-only JSONL metrics stream (``cfg.tpu.metrics_jsonl``).
+
+    One JSON object per line, flushed per record so a preempted or crashed
+    run keeps everything written so far. The machine-readable counterpart
+    of the stdout ticker: dashboards/regression tooling consume this, the
+    ticker stays human-facing. A falsy path makes every call a no-op, so
+    call sites don't need to branch.
+    """
+
+    def __init__(self, path: str | None):
+        self._f = None
+        if path:
+            d = os.path.dirname(path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            self._f = open(path, "a")
+            self._t0 = time.time()
+
+    def write(self, record_type: str, **fields) -> None:
+        if self._f is None:
+            return
+        rec = {"type": record_type, "wall_s": round(time.time() - self._t0, 3)}
+        rec.update(fields)
+        json.dump(rec, self._f)
+        self._f.write("\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
 
 
 def train_ticker(progress, ce_loss, avg_loss, train_acc, avg_acc, exp_name):

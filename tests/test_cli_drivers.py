@@ -51,6 +51,36 @@ def test_train_then_validate_cli(cli_workdir, capsys):
     assert 0.0 <= float(acc) <= 1.0
 
 
+@pytest.mark.slow
+def test_metrics_jsonl_stream(synth_dir, tmp_path):
+    """cfg.tpu.metrics_jsonl: train records at every log boundary with
+    monotone steps + one val record per epoch, each line valid JSON."""
+    import json
+
+    import train as train_cli
+    from dualvgr_tpu.config import cfg_from_file, resolve_dataset_paths
+
+    cfg = cfg_from_file(synth_dir["config"])
+    cfg.dataset.save_dir = str(tmp_path)
+    cfg.alpha, cfg.beta, cfg.unit_layers = 1.0, 1e-8, 1
+    cfg.train.max_epochs = 2
+    cfg.tpu.metrics_jsonl = "metrics.jsonl"  # relative -> {save_dir}/log/
+    cfg = resolve_dataset_paths(cfg)
+    train_cli.train(cfg)
+
+    path = os.path.join(str(tmp_path), "log", "metrics.jsonl")
+    records = [json.loads(l) for l in open(path)]
+    train_recs = [r for r in records if r["type"] == "train"]
+    val_recs = [r for r in records if r["type"] == "val"]
+    assert train_recs and len(val_recs) == 2
+    steps = [r["step"] for r in train_recs]
+    assert steps == sorted(steps) and len(set(steps)) == len(steps)
+    for r in train_recs:
+        assert np.isfinite(r["ce"]) and r["lr"] > 0 and r["wall_s"] >= 0
+    for r in val_recs:
+        assert 0.0 <= r["acc"] <= 1.0 and set(r["categories"]) and "best" in r
+
+
 def test_glove_txt2pickle_cli(tmp_path):
     import sys
 

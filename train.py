@@ -34,7 +34,7 @@ from dualvgr_tpu.data import VideoQADataLoader
 from dualvgr_tpu.models import DualVGR
 from dualvgr_tpu import train_lib, validate_lib
 from dualvgr_tpu.parallel import mesh_for, place_state, prefetch_to_device, shard_batch
-from dualvgr_tpu.utils import setup_logging, train_ticker
+from dualvgr_tpu.utils import MetricsWriter, setup_logging, train_ticker
 from dualvgr_tpu.utils.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
@@ -199,6 +199,11 @@ def train(cfg, stop_event=None):
         save_checkpoint(autosave_dir, save_epoch, state, model_kwargs_tosave(cfg))
         logging.info("autosaved train state (%s, resume epoch %d)", why, save_epoch + 1)
 
+    metrics_path = str(cfg.tpu.get("metrics_jsonl", "") or "")
+    if metrics_path and not os.path.isabs(metrics_path):
+        metrics_path = os.path.join(cfg.dataset.save_dir, "log", metrics_path)
+    metrics_writer = MetricsWriter(metrics_path)
+
     logging.info("Start training........")
     for epoch in range(start_epoch, cfg.train.max_epochs):
         if profile_dir and epoch == start_epoch + 1 and not profiling:
@@ -252,6 +257,18 @@ def train(cfg, stop_event=None):
                     total_correct / max(total_count, 1),
                     cfg.exp_name,
                 )
+                metrics_writer.write(
+                    "train",
+                    epoch=epoch,
+                    step=epoch * steps_per_epoch + i + 1,
+                    ce=round(float(last["ce"]), 6),
+                    avg_loss=round(total_loss / max(logged_steps, 1), 6),
+                    batch_acc=round(
+                        float(last["correct"]) / max(int(last["count"]), 1), 6
+                    ),
+                    avg_acc=round(total_correct / max(total_count, 1), 6),
+                    lr=cfg.train.lr * 0.5 ** (epoch // 10),
+                )
         sys.stdout.write("\n")
         if preempted:
             logging.warning(
@@ -278,6 +295,14 @@ def train(cfg, stop_event=None):
             logging.info("~~~~~~ Valid Accuracy: %.4f ~~~~~~~", valid_acc)
             for nm, a in zip(cat_names, cat_accs):
                 logging.info("  %s accuracy: %.4f", nm, a)
+            metrics_writer.write(
+                "val",
+                epoch=epoch,
+                acc=round(float(valid_acc), 6),
+                categories={nm: round(float(a), 6)
+                            for nm, a in zip(cat_names, cat_accs)},
+                best=bool(valid_acc > best_val),
+            )
             if valid_acc > best_val:
                 best_val = valid_acc
                 best_cats = cat_accs
@@ -296,6 +321,7 @@ def train(cfg, stop_event=None):
         logging.info("~~~~~~ Best Valid Accuracy: %.4f ~~~~~~~", best_val)
         for nm, a in zip(cat_names, best_cats):
             logging.info("  best %s accuracy: %.4f", nm, a)
+    metrics_writer.close()
     return best_val, state
 
 
