@@ -101,9 +101,19 @@ def _require_devices(timeout_s: float):
     import jax
 
     out: list = []
-    th = threading.Thread(target=lambda: out.append(jax.devices()), daemon=True)
+    err: list = []
+
+    def probe():
+        try:
+            out.append(jax.devices())
+        except Exception as e:  # noqa: BLE001 — report, then die
+            err.append(e)
+
+    th = threading.Thread(target=probe, daemon=True)
     th.start()
     th.join(timeout_s)
+    if err:
+        raise SystemExit(f"bench: backend init failed: {err[0]!r}")
     if not out:
         raise SystemExit(
             f"bench: no JAX devices after {timeout_s:.0f}s — backend/tunnel "

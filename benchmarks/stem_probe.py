@@ -295,41 +295,36 @@ def main():
             z = jax.nn.relu(yf * scale2.astype(yf.dtype) + bias2.astype(yf.dtype))
             return pool(t2d_unfold(z))
 
-        ref = chain_s2d(x[:2])
-        for name, fn in (("chain_t2d", chain_t2d), ("chain_t2d_foldbn", chain_t2d_foldbn)):
+    def check_against(ref_fn, named_fns):
+        ref = ref_fn(x[:2])
+        for name, fn in named_fns:
             got = fn(x[:2])
             err = float(jnp.max(jnp.abs(got - ref)))
-            assert got.shape == ref.shape and err < 1e-3, (name, err)
+            assert got.shape == ref.shape and err < 1e-3, (name, got.shape, ref.shape, err)
 
+    def time_all(named_fns):
+        """One timing protocol for every mode: fp32 + bf16 per variant."""
         out = {"clips": B}
-        for name, fn in (
-            ("chain_s2d", chain_s2d),
-            ("chain_t2d", chain_t2d),
-            ("chain_t2d_foldbn", chain_t2d_foldbn),
-        ):
+        xb = x.astype(jnp.bfloat16)
+        for name, fn in named_fns:
             out[f"{name}_ms"] = round(chain_time(fn, x, args.steps) * 1e3, 3)
             print(f"# {name}: {out[f'{name}_ms']}", flush=True)
-            xb = x.astype(jnp.bfloat16)
             out[f"{name}_bf16_ms"] = round(chain_time(fn, xb, args.steps) * 1e3, 3)
             print(f"# {name}_bf16: {out[f'{name}_bf16_ms']}", flush=True)
         print(json.dumps(out))
+
+    if args.chain:
+        check_against(chain_s2d, [("chain_t2d", chain_t2d),
+                                  ("chain_t2d_foldbn", chain_t2d_foldbn)])
+        time_all([("chain_s2d", chain_s2d), ("chain_t2d", chain_t2d),
+                  ("chain_t2d_foldbn", chain_t2d_foldbn)])
         return
 
-    # numeric check on device before timing
-    ref = base(x[:2])
-    for name, fn in (("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold), ("s2d_nmerge", s2d_nmerge), ("t2d", t2d), ("t2d_sum4", t2d_sum4), ("t4d", t4d)):
-        got = fn(x[:2])
-        err = float(jnp.max(jnp.abs(got - ref)))
-        assert got.shape == ref.shape and err < 1e-3, (name, got.shape, ref.shape, err)
-
-    out = {"clips": B}
-    for name, fn in (("base", base), ("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold), ("s2d_nmerge", s2d_nmerge), ("t2d", t2d), ("t2d_sum4", t2d_sum4), ("t4d", t4d)):
-        out[f"{name}_ms"] = round(chain_time(fn, x, args.steps) * 1e3, 3)
-        print(f"# {name}: {out[f'{name}_ms']}", flush=True)
-        xb = x.astype(jnp.bfloat16)
-        out[f"{name}_bf16_ms"] = round(chain_time(fn, xb, args.steps) * 1e3, 3)
-        print(f"# {name}_bf16: {out[f'{name}_bf16_ms']}", flush=True)
-    print(json.dumps(out))
+    variants = [("pad8", pad8), ("s2d", s2d), ("s2d_tfold", s2d_tfold),
+                ("s2d_nmerge", s2d_nmerge), ("t2d", t2d),
+                ("t2d_sum4", t2d_sum4), ("t4d", t4d)]
+    check_against(base, variants)
+    time_all([("base", base)] + variants)
 
 
 if __name__ == "__main__":

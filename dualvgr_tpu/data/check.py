@@ -69,28 +69,38 @@ def _check_questions(
     vids = np.asarray(obj["video_ids"])
     ans = np.asarray(obj["answers"])
     n = len(qs)
+    lengths_ok = True
     for name, arr in (("questions_len", qlen), ("video_ids", vids), ("answers", ans)):
         if len(arr) != n:
             errors.append(f"{tag}: len({name})={len(arr)} != len(questions)={n}")
+            lengths_ok = False
     if qs.ndim != 2:
         errors.append(f"{tag}: questions must be 2-D padded (got shape {qs.shape})")
         return vids
-    if n and (qlen.min() < 1 or qlen.max() > qs.shape[1]):
+    if n and len(qlen) and (qlen.min() < 1 or qlen.max() > qs.shape[1]):
         errors.append(
             f"{tag}: questions_len out of range [1, {qs.shape[1]}] "
             f"(min {qlen.min()}, max {qlen.max()})"
         )
-    # <NULL>=0 padding beyond each row's true length (svqa.py:106-109)
-    cols = np.arange(qs.shape[1])[None, :]
-    if n and np.any(qs[cols >= qlen[:, None]] != 0):
-        errors.append(f"{tag}: nonzero tokens beyond questions_len (padding must be <NULL>=0)")
+    # <NULL>=0 padding beyond each row's true length (svqa.py:106-109) —
+    # only checkable when the per-row lengths actually line up with the rows
+    if n and lengths_ok:
+        cols = np.arange(qs.shape[1])[None, :]
+        if np.any(qs[cols >= qlen[:, None]] != 0):
+            errors.append(
+                f"{tag}: nonzero tokens beyond questions_len (padding must be <NULL>=0)"
+            )
     if vocab:
         nq = len(vocab.get("question_token_to_idx", {}))
         na = len(vocab.get("answer_token_to_idx", {}))
-        if nq and n and qs.max() >= nq:
-            errors.append(f"{tag}: token id {qs.max()} >= question vocab size {nq}")
-        if na and n and ans.max() >= na:
-            errors.append(f"{tag}: answer id {ans.max()} >= answer vocab size {na}")
+        if nq and n and (qs.max() >= nq or qs.min() < 0):
+            errors.append(
+                f"{tag}: token ids outside [0, {nq}) (min {qs.min()}, max {qs.max()})"
+            )
+        if na and n and len(ans) and (ans.max() >= na or ans.min() < 0):
+            errors.append(
+                f"{tag}: answer ids outside [0, {na}) (min {ans.min()}, max {ans.max()})"
+            )
     glove = obj.get("glove", None)
     if mode == "train":
         if glove is None:
@@ -200,11 +210,13 @@ def main(argv=None) -> int:
 
     cfg = cfg_from_file(args.cfg_file)
     cfg = resolve_dataset_paths(cfg)
-    pts = {
-        mode: getattr(cfg.dataset, f"{mode}_question_pt")
-        for mode in ("train", "val", "test")
-        if os.path.exists(getattr(cfg.dataset, f"{mode}_question_pt", ""))
-    }
+    pts, missing = {}, []
+    for mode in ("train", "val", "test"):
+        path = getattr(cfg.dataset, f"{mode}_question_pt", "")
+        if os.path.exists(path):
+            pts[mode] = path
+        else:
+            missing.append((mode, path))
     if not pts:
         print("ERROR: no question pickles found at the configured paths")
         return 1
@@ -213,6 +225,9 @@ def main(argv=None) -> int:
         cfg.dataset.appearance_feat, cfg.dataset.motion_feat,
         dataset=cfg.dataset.name, num_of_nodes=cfg.train.num_of_nodes,
     )
+    # a half-regenerated dataset (some splits never rebuilt) is exactly the
+    # failure mode this tool exists for — missing splits are hard errors
+    errors += [f"{mode}: configured pickle does not exist: {p}" for mode, p in missing]
     for w in warnings:
         print(f"WARN: {w}")
     for e in errors:

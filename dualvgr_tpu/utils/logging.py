@@ -76,6 +76,10 @@ class MetricsWriter:
             self._f = open(path, "a")
             self._t0 = time.time()
 
+    @property
+    def enabled(self) -> bool:
+        return self._f is not None
+
     def write(self, record_type: str, **fields) -> None:
         if self._f is None:
             return

@@ -314,6 +314,19 @@ def infer_unit_layers(sd: dict) -> int:
     return max(units) + 1
 
 
+def infer_gat_banks(sd: dict) -> int:
+    """GAT bank count (= unit_layers * graph_layers) from acGCN key indices."""
+    banks = {
+        int(k.split(".")[2])
+        for k in sd
+        if k.startswith("visual_input_unit.acGCN.")
+        and k.endswith(".attention_0.W.weight")
+    }
+    if not banks:
+        raise ValueError("no visual_input_unit.acGCN.* keys: not a DualVGR state_dict")
+    return max(banks) + 1
+
+
 def convert_reference_checkpoint(
     pt_path: str,
     ckpt_dir: str,
@@ -350,7 +363,21 @@ def convert_reference_checkpoint(
     motion_w = _t(sd, "visual_motion_input_unit.weight")
     cls_w = _t(sd, "output_unit.classifier.5.weight")
     unit_layers = infer_unit_layers(sd)
-    graph_layers = int(ref_kwargs.get("graph_layers", 1))
+    # graph_layers from the weights themselves (bank count / unit_layers) —
+    # assuming 1 for a bare state_dict would silently TRUNCATE the extra
+    # banks and convert to wrong logits with no error
+    banks = infer_gat_banks(sd)
+    if banks % unit_layers:
+        raise ValueError(
+            f"{banks} GAT banks is not a multiple of unit_layers={unit_layers}"
+        )
+    graph_layers = banks // unit_layers
+    if "graph_layers" in ref_kwargs and int(ref_kwargs["graph_layers"]) != graph_layers:
+        raise ValueError(
+            f"checkpoint model_kwargs say graph_layers="
+            f"{ref_kwargs['graph_layers']} but the weights hold {banks} banks "
+            f"for unit_layers={unit_layers} (= graph_layers {graph_layers})"
+        )
     kwargs = {
         "vision_dim": int(ref_kwargs.get("vision_dim", motion_w.shape[1])),
         "module_dim": int(ref_kwargs.get("module_dim", motion_w.shape[0])),

@@ -51,7 +51,7 @@ def test_checker_names_corruptions(synth_dir, tmp_path):
         dataset="svqa",
         num_of_nodes=4,
     )
-    assert any("question vocab size" in e for e in errors), errors
+    assert any("token ids outside" in e for e in errors), errors
     assert any("missing from the motion h5" in e for e in errors), errors
     # the untouched appearance h5 raises no missing-id error
     assert not any("appearance h5" in e and "missing" in e for e in errors), errors

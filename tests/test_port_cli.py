@@ -156,6 +156,47 @@ def test_export_cli_writes_reference_schema(tmp_path):
         np.testing.assert_array_equal(ckpt["state_dict"][k].numpy(), v.numpy())
 
 
+def test_import_infers_graph_layers_from_banks(tmp_path):
+    """A bare state_dict with 2 GAT banks per unit must NOT be silently
+    truncated to graph_layers=1 — the bank count is inferred from the
+    acGCN key indices."""
+    import torch
+
+    from dualvgr_tpu import train_lib
+    from dualvgr_tpu.models import DualVGR
+
+    model = DualVGR(**{**TINY, "graph_layers": 2})
+    example = (
+        np.zeros((1, 4, 3, 24), np.float32),
+        np.zeros((1, 4, 24), np.float32),
+        np.ones((1, 5), np.int32),
+        np.asarray([5], np.int32),
+    )
+    opt = train_lib.make_optimizer(1e-3, 1)
+    state = train_lib.create_train_state(model, jax.random.PRNGKey(2), example, opt)
+    sd = port_reference.export_reference_state_dict(
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)}
+    )
+    assert port_reference.infer_gat_banks(sd) == 2
+    pt = str(tmp_path / "bare2.pt")
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, pt)
+
+    kw = port_reference.convert_reference_checkpoint(
+        pt, str(tmp_path / "c"), num_of_nodes=4
+    )
+    assert kw["graph_layers"] == 2 and kw["unit_layers"] == 1
+
+    # and a model_kwargs/weights contradiction is an error, not silence
+    torch.save(
+        {"state_dict": {k: torch.tensor(np.asarray(v)) for k, v in sd.items()},
+         "model_kwargs": {"graph_layers": 1, "num_of_nodes": 4}},
+        pt,
+    )
+    with pytest.raises(ValueError, match="banks"):
+        port_reference.convert_reference_checkpoint(pt, str(tmp_path / "c2"))
+
+
 def test_import_requires_num_of_nodes_when_absent(tmp_path):
     """Checkpoints without model_kwargs need --num_of_nodes, with a clear error."""
     import torch

@@ -202,7 +202,14 @@ def train(cfg, stop_event=None):
     metrics_path = str(cfg.tpu.get("metrics_jsonl", "") or "")
     if metrics_path and not os.path.isabs(metrics_path):
         metrics_path = os.path.join(cfg.dataset.save_dir, "log", metrics_path)
+    if jax.process_index() != 0:
+        metrics_path = ""  # one writer per run: other hosts would append
+        # duplicate interleaved records to the same file on shared storage
     metrics_writer = MetricsWriter(metrics_path)
+    # the lr actually applied is keyed on the optimizer STEP, which diverges
+    # from epoch*steps_per_epoch after restores (imported checkpoints carry
+    # epoch with step=0) — log the real schedule value, not an epoch formula
+    lr_schedule = train_lib.make_lr_schedule(cfg.train.lr, steps_per_epoch)
 
     logging.info("Start training........")
     for epoch in range(start_epoch, cfg.train.max_epochs):
@@ -257,18 +264,21 @@ def train(cfg, stop_event=None):
                     total_correct / max(total_count, 1),
                     cfg.exp_name,
                 )
-                metrics_writer.write(
-                    "train",
-                    epoch=epoch,
-                    step=epoch * steps_per_epoch + i + 1,
-                    ce=round(float(last["ce"]), 6),
-                    avg_loss=round(total_loss / max(logged_steps, 1), 6),
-                    batch_acc=round(
-                        float(last["correct"]) / max(int(last["count"]), 1), 6
-                    ),
-                    avg_acc=round(total_correct / max(total_count, 1), 6),
-                    lr=cfg.train.lr * 0.5 ** (epoch // 10),
-                )
+                if metrics_writer.enabled:  # int(state.step) is a device
+                    # fetch; skip the sync entirely when the stream is off
+                    opt_step = int(state.step)
+                    metrics_writer.write(
+                        "train",
+                        epoch=epoch,
+                        step=opt_step,
+                        ce=round(float(last["ce"]), 6),
+                        avg_loss=round(total_loss / max(logged_steps, 1), 6),
+                        batch_acc=round(
+                            float(last["correct"]) / max(int(last["count"]), 1), 6
+                        ),
+                        avg_acc=round(total_correct / max(total_count, 1), 6),
+                        lr=float(lr_schedule(max(opt_step - 1, 0))),
+                    )
         sys.stdout.write("\n")
         if preempted:
             logging.warning(
