@@ -104,6 +104,13 @@ def default_config() -> Config:
             "feature_cache_gb": 8.0,
             # host->device prefetch depth (batches in flight).
             "prefetch": 2,
+            # dtype feature batches are cached/shipped in: "bfloat16" halves
+            # host RAM + host->device bytes per step (the flagship fp32
+            # appearance batch alone is 537 MB — more than a real TPU-VM DMA
+            # moves in one 27 ms train step); the model upcasts on device.
+            # Input quantization only — params and all on-device numerics
+            # stay as configured. Default float32 (reference-exact inputs).
+            "transfer_dtype": "float32",
             # fused Pallas DualVGR-cycle / BiLSTM kernels: "auto" (default)
             # enables them exactly when running on TPU, so the flagship CLI
             # (`train.py --cfg configs/msrvtt_qa_DualVGR_16.yml`) delivers

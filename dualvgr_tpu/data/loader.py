@@ -54,8 +54,8 @@ class Batch(NamedTuple):
     question_idx: np.ndarray  # (B,) int64
     question_category: Optional[np.ndarray]  # (B,) int32 or None
     answer: np.ndarray  # (B,) int32
-    appearance_feat: np.ndarray  # (B, C, F, D) float32
-    motion_feat: np.ndarray  # (B, C, D) float32
+    appearance_feat: np.ndarray  # (B, C, F, D) float32 (or bfloat16, see transfer_dtype)
+    motion_feat: np.ndarray  # (B, C, D) float32 (or bfloat16)
     question: np.ndarray  # (B, T) int32
     question_len: np.ndarray  # (B,) int32
     valid: np.ndarray  # (B,) float32 — 0 for padding rows of the final batch
@@ -83,6 +83,10 @@ class VideoQADataLoader:
         feature_cache_gb: float = 8.0,
         prefetch: int = 2,
         pad_final: bool = True,
+        # dtype the feature batches are assembled/shipped in ("float32" or
+        # "bfloat16", cfg.tpu.transfer_dtype): bfloat16 halves the RAM cache
+        # and the host->device bytes per step; the model upcasts on device.
+        transfer_dtype: str = "float32",
         # multi-host sharded loading: this host gathers only rows
         # [host_index*B/H, (host_index+1)*B/H) of each global batch (the
         # slice parallel.process_batch_bounds assigns it); batch order and
@@ -138,13 +142,22 @@ class VideoQADataLoader:
         self.categories = categories
 
         gather_threads = num_workers if num_workers > 0 else None
+        self.transfer_dtype = transfer_dtype
+        if transfer_dtype == "bfloat16":
+            import ml_dtypes
+
+            self._feat_dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            self._feat_dtype = np.dtype(np.float32)
         self.app_store = FeatureStore(
             appearance_feat, "resnet_features",
             cache_gb=feature_cache_gb, n_threads=gather_threads,
+            store_dtype=transfer_dtype,
         )
         self.motion_store = FeatureStore(
             motion_feat, "resnext_features",
             cache_gb=feature_cache_gb, n_threads=gather_threads,
+            store_dtype=transfer_dtype,
         )
         self._app_rows = self.app_store.rows_for_video_ids(video_ids)
         self._motion_rows = self.motion_store.rows_for_video_ids(video_ids)
@@ -179,8 +192,8 @@ class VideoQADataLoader:
         c, f, d = self.app_store.shape[1:]
         t = self.questions.shape[1]
         return (
-            np.zeros((batch_size, c, f, d), np.float32),
-            np.zeros((batch_size, c, self.motion_store.shape[-1]), np.float32),
+            np.zeros((batch_size, c, f, d), self._feat_dtype),
+            np.zeros((batch_size, c, self.motion_store.shape[-1]), self._feat_dtype),
             np.zeros((batch_size, t), np.int32),
             np.ones((batch_size,), np.int32),
         )
@@ -190,10 +203,12 @@ class VideoQADataLoader:
         return math.ceil(self.num_samples / self.batch_size)
 
     def _make_batch(self, idx: np.ndarray, valid: np.ndarray) -> Batch:
-        app = self.app_store.gather(self._app_rows[idx]).astype(np.float32, copy=False)
-        motion = self.motion_store.gather(self._motion_rows[idx]).astype(
-            np.float32, copy=False
-        )
+        # gathers come out in the store dtype (bfloat16 stores already are;
+        # float32 stores may need a cast if the file wasn't float32) — the
+        # batch ships in transfer_dtype and the model upcasts on device
+        dt = self._feat_dtype
+        app = self.app_store.gather(self._app_rows[idx]).astype(dt, copy=False)
+        motion = self.motion_store.gather(self._motion_rows[idx]).astype(dt, copy=False)
         return Batch(
             video_idx=self.video_ids[idx],
             question_idx=self.q_ids[idx],

@@ -4,8 +4,11 @@ Compiles the C++ source with the system g++ on first use (cached next to
 the source; rebuilt when the source is newer) and exposes
 
     gather_rows(src, rows, out=None, n_threads=None) -> np.ndarray
+    cast_f32_to_bf16(src, out=None, n_threads=None) -> np.ndarray
 
-a threaded row-gather used by FeatureStore for RAM-cached batch assembly.
+a threaded row-gather used by FeatureStore for RAM-cached batch assembly,
+and a threaded round-to-nearest-even float32 -> bfloat16 cast used by the
+bfloat16 transfer path (halves host RAM cache + host->device bytes).
 Every failure path (no compiler, unwritable dir, dlopen error) degrades to
 ``None`` so callers fall back to numpy fancy indexing — the native path is
 a throughput optimization, never a requirement.
@@ -59,6 +62,11 @@ def _load():
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.c_char_p, ctypes.c_int,
             ]
+            lib.cast_f32_bf16.restype = ctypes.c_int
+            lib.cast_f32_bf16.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint16),
+                ctypes.c_int64, ctypes.c_int,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -93,4 +101,30 @@ def gather_rows(src: np.ndarray, rows: np.ndarray, out=None, n_threads=None):
     )
     if rc != 0:
         raise IndexError("gather_rows: row index out of range")
+    return out
+
+
+def cast_f32_to_bf16(src: np.ndarray, out=None, n_threads=None):
+    """Threaded RNE float32 -> bfloat16 cast; None if the lib is unavailable.
+
+    Bit-identical to ``src.astype(ml_dtypes.bfloat16)`` (numpy's single-core
+    C loop) — the threading matters for the one-time RAM-cache conversion
+    (GBs) and the per-batch casts of file-backed stores.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    import ml_dtypes
+
+    src = np.ascontiguousarray(src, dtype=np.float32)
+    if out is None:
+        out = np.empty(src.shape, dtype=ml_dtypes.bfloat16)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+    lib.cast_f32_bf16(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        int(src.size),
+        int(n_threads),
+    )
     return out

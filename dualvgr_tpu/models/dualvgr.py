@@ -265,7 +265,15 @@ class DualVGR(nn.Module):
         video_motion_feat: (B, C, vision_dim) float;
         question: (B, T) int32; question_len: (B,) int32;
         valid: optional (B,) float mask for padded final-batch rows
-        (consumed by the classifier's batch statistics)."""
+        (consumed by the classifier's batch statistics).
+
+        Visual features may arrive in a narrower transfer dtype (bfloat16,
+        cfg.tpu.transfer_dtype — half the host->device bytes); they are
+        upcast to float32 here so every downstream numerics path (fp32
+        recurrences/softmaxes, compute_dtype streaming at the matmuls) is
+        unchanged. XLA fuses the upcast into the first elementwise pass."""
+        video_appearance_feat = video_appearance_feat.astype(jnp.float32)
+        video_motion_feat = video_motion_feat.astype(jnp.float32)
         question_embedding, words, dynamic = QuestionEncoder(
             self.question_vocab_size,
             self.word_dim,

@@ -116,6 +116,7 @@ def train(cfg, stop_event=None):
         seed=cfg.seed,
         feature_cache_gb=cfg.tpu.feature_cache_gb,
         prefetch=cfg.tpu.prefetch,
+        transfer_dtype=cfg.tpu.transfer_dtype,
         host_index=host_index,
         host_count=host_count,
     )
@@ -134,6 +135,7 @@ def train(cfg, stop_event=None):
             seed=cfg.seed,
             feature_cache_gb=cfg.tpu.feature_cache_gb,
             prefetch=cfg.tpu.prefetch,
+            transfer_dtype=cfg.tpu.transfer_dtype,
         )
         logging.info("number of val instances: %d", val_loader.num_samples)
 

@@ -60,6 +60,7 @@ def main(argv=None):
         seed=cfg.seed,
         feature_cache_gb=cfg.tpu.feature_cache_gb,
         prefetch=cfg.tpu.prefetch,
+        transfer_dtype=cfg.tpu.transfer_dtype,
     )
 
     # rebuild model from saved kwargs + fresh vocab + CLI unit_layers
