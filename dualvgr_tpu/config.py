@@ -130,6 +130,13 @@ def default_config() -> Config:
             # ZeRO stage 1: shard Adam moments over the data axis (divides
             # the optimizer-memory term by the DP degree; parallel/tp.py).
             "zero_opt": False,
+            # gradient accumulation: every K loader batches become ONE
+            # optimizer update over their mean gradient (optax.MultiSteps) —
+            # an effective batch of K x train.batch_size without K x the
+            # activation memory. Clip + lr decay see accumulated updates;
+            # decay boundaries stay at the same epochs (train_lib converts
+            # the schedule's epoch length from micro-steps).
+            "grad_accum": 1,
             # dropout PRNG: "auto" (default) = the hardware 'rbg' generator
             # on TPU (measured ~12-20% faster train steps; identical dropout
             # distribution, different stream) and 'threefry2x32' (JAX's

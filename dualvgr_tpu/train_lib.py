@@ -46,11 +46,38 @@ def make_lr_schedule(base_lr: float, steps_per_epoch: int, decay_epochs: int = 1
     return schedule
 
 
-def make_optimizer(base_lr: float, steps_per_epoch: int, max_grad_norm: float = 12.0):
-    return optax.chain(
+def make_optimizer(
+    base_lr: float,
+    steps_per_epoch: int,
+    max_grad_norm: float = 12.0,
+    grad_accum: int = 1,
+):
+    """Adam + global-norm clip (+ optional gradient accumulation).
+
+    ``grad_accum=K`` (cfg.tpu.grad_accum) makes every K consecutive
+    ``train_step`` calls one optimizer update over their MEAN gradient —
+    an effective batch of K x cfg.train.batch_size without K x the
+    activation memory (the accumulator is one extra params-sized buffer,
+    ZeRO-sharded like the Adam moments under ``tpu.zero_opt``). Clipping
+    and the x0.5/10-epoch decay see accumulated UPDATES: the schedule's
+    epoch length is converted from micro-steps here, so decay boundaries
+    stay at the same epochs. Note the batch-coupled terms (classifier
+    BatchNorm statistics, the HSIC dependence loss's batch Gram matrices)
+    still see each micro-batch separately — the same caveat gradient
+    accumulation has in any framework.
+
+    ``steps_per_epoch`` is always in loader-batch (micro-step) units.
+    """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    updates_per_epoch = max(steps_per_epoch // grad_accum, 1)
+    inner = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adam(make_lr_schedule(base_lr, steps_per_epoch)),
+        optax.adam(make_lr_schedule(base_lr, updates_per_epoch)),
     )
+    if grad_accum == 1:
+        return inner
+    return optax.MultiSteps(inner, every_k_schedule=grad_accum)
 
 
 def create_train_state(

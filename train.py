@@ -143,7 +143,15 @@ def train(cfg, stop_event=None):
     model = build_model(cfg, train_loader.vocab)
 
     steps_per_epoch = len(train_loader)
-    optimizer = train_lib.make_optimizer(cfg.train.lr, steps_per_epoch)
+    grad_accum = int(cfg.tpu.get("grad_accum", 1))
+    optimizer = train_lib.make_optimizer(
+        cfg.train.lr, steps_per_epoch, grad_accum=grad_accum
+    )
+    if grad_accum > 1:
+        logging.info(
+            "gradient accumulation: %d micro-batches per update "
+            "(effective batch %d)", grad_accum, grad_accum * cfg.train.batch_size,
+        )
 
     # example batch for shape-driven init: metadata-only (no RNG shuffle
     # consumed, no producer thread started — epoch-0 order stays identical
@@ -211,7 +219,11 @@ def train(cfg, stop_event=None):
     # the lr actually applied is keyed on the optimizer STEP, which diverges
     # from epoch*steps_per_epoch after restores (imported checkpoints carry
     # epoch with step=0) — log the real schedule value, not an epoch formula
-    lr_schedule = train_lib.make_lr_schedule(cfg.train.lr, steps_per_epoch)
+    # with grad_accum, the schedule counts optimizer UPDATES (state.step
+    # counts micro-steps) — mirror make_optimizer's conversion
+    lr_schedule = train_lib.make_lr_schedule(
+        cfg.train.lr, max(steps_per_epoch // grad_accum, 1)
+    )
 
     logging.info("Start training........")
     for epoch in range(start_epoch, cfg.train.max_epochs):
@@ -279,7 +291,7 @@ def train(cfg, stop_event=None):
                             float(last["correct"]) / max(int(last["count"]), 1), 6
                         ),
                         avg_acc=round(total_correct / max(total_count, 1), 6),
-                        lr=float(lr_schedule(max(opt_step - 1, 0))),
+                        lr=float(lr_schedule(max(opt_step // grad_accum - 1, 0))),
                     )
         sys.stdout.write("\n")
         if preempted:
