@@ -32,6 +32,7 @@ from __future__ import annotations
 from typing import Any, NamedTuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dualvgr_tpu.models.attention import ContextSelfAttn, QueryAttn, QueryPunish
@@ -88,6 +89,13 @@ class DualVGRUnitStack(nn.Module):
     use_pallas: bool = False
     graph_module: str = "GAT"  # 'GAT' (reference-live) or 'GCN' (fixed, see PunishGCN)
     compute_dtype: str = "float32"
+    # XLA path: run each iteration's FOUR PunishGATs (common/specific x
+    # appearance/motion) as ONE stacked computation — 4x fewer softmax/
+    # einsum/dropout ops, same math (exact with dropout off; with dropout
+    # on the masks come from one draw per site instead of four, identical
+    # distribution). Off by default until the in-network TPU A/B wins
+    # (house rule: isolated wins must be confirmed in-network).
+    batch_gats: bool = False
 
     def setup(self):
         d = self.module_dim
@@ -125,6 +133,49 @@ class DualVGRUnitStack(nn.Module):
             for i in range(u)
         ]
         self.visual_fusion = MFB(d, compute_dtype=cd, name="visual_fusion")
+        # paramless; used by the batched-GAT path (one mask draw per site)
+        self.cycle_drop = nn.Dropout(0.15)
+
+    def _gat4_batched(self, x4, scores4, adj, gats, *, train: bool):
+        """One iteration's four PunishGATs as ONE stacked computation.
+
+        x4: (4, B, N, D) = [aq, aq, mq, mq]; scores4: (4, B, N, hd);
+        gats: [ac, appearance, mc, motion] modules (identical hyperparams,
+        distinct weights). Exactly PunishGAT.__call__'s math
+        (graph.py:62-101) vectorized over the bank dim — one stacked
+        projection einsum, one softmax, one dropout draw per site instead
+        of four of each. Exact vs the per-module path with dropout off
+        (tests/test_batched_gats.py); with dropout on the masks are one
+        draw per site — identical distribution, different stream.
+        """
+        from dualvgr_tpu.ops.precision import stream_dtype_of, streamed_einsum
+
+        g0 = gats[0]
+        nh, hd, alpha = g0.n_heads, g0.head_dim, g0.alpha
+        k4, b, n, d = x4.shape
+        w4 = jnp.stack([g.w_kernel.reshape(d, nh * hd) for g in gats])
+        b4 = jnp.stack([g.w_bias.reshape(nh * hd) for g in gats])
+        a4 = jnp.stack([g.a for g in gats])  # (4, H, 2*hd)
+        ab4 = jnp.stack([g.a_bias for g in gats])  # (4, H)
+
+        x4 = self.cycle_drop(x4, deterministic=not train)
+        sd = stream_dtype_of(self.compute_dtype)
+        wh = streamed_einsum("kbnd,kdh->kbnh", x4, w4, sd)
+        wh = wh.reshape(k4, b, n, nh, hd) + b4.reshape(k4, 1, 1, nh, hd)
+
+        a_src, a_dst = a4[..., :hd], a4[..., hd:]
+        src = jnp.einsum("kbnhd,khd->kbhn", wh, a_src)
+        dst = jnp.einsum("kbnhd,khd->kbhn", wh, a_dst)
+        e = src[..., :, None] + dst[..., None, :] + ab4[:, None, :, None, None]
+        e = nn.leaky_relu(e, negative_slope=alpha)  # (4, B, H, N, N)
+        e = jnp.where(adj[None, None, None] > 0, e, jnp.full_like(e, -9e15))
+
+        wh = wh * scores4[:, :, :, None, :]  # punishment: values only
+        attn = jax.nn.softmax(e, axis=-1)
+        attn = self.cycle_drop(attn, deterministic=not train)
+        out = jnp.einsum("kbhij,kbjhd->kbihd", attn, wh)
+        out = nn.elu(out).reshape(k4, b, n, nh * hd)
+        return self.cycle_drop(out, deterministic=not train)
 
     def _fused_cycle(self, h, scores, gat_c, gat_s, sfgcn):
         """One stream's cycle through the fused Pallas kernel."""
@@ -196,19 +247,43 @@ class DualVGRUnitStack(nn.Module):
                 continue
 
             com_app = com_motion = None
-            for j in range(self.graph_layers):
-                k = i * self.graph_layers + j  # fixed bank indexing
-                com_app = self.ac_gats[k](aq, adj, app_scores, train=train)
-                aq = self.appearance_gats[k](aq, adj, app_scores, train=train)
-                aq_fusion_list.append(aq)
-                com_app_list.append(com_app)
+            if self.batch_gats and self.graph_module == "GAT":
+                # the four independent GATs of each iteration as one
+                # stacked computation (common/specific read the SAME input,
+                # so batching each iteration is exact — see _gat4_batched)
+                for j in range(self.graph_layers):
+                    k = i * self.graph_layers + j
+                    o4 = self._gat4_batched(
+                        jnp.stack([aq, aq, mq, mq]),
+                        jnp.stack([app_scores, app_scores, mot_scores, mot_scores]),
+                        adj,
+                        [
+                            self.ac_gats[k],
+                            self.appearance_gats[k],
+                            self.mc_gats[k],
+                            self.motion_gats[k],
+                        ],
+                        train=train,
+                    )
+                    com_app, aq, com_motion, mq = o4[0], o4[1], o4[2], o4[3]
+                    aq_fusion_list.append(aq)
+                    com_app_list.append(com_app)
+                    mq_fusion_list.append(mq)
+                    com_motion_list.append(com_motion)
+            else:
+                for j in range(self.graph_layers):
+                    k = i * self.graph_layers + j  # fixed bank indexing
+                    com_app = self.ac_gats[k](aq, adj, app_scores, train=train)
+                    aq = self.appearance_gats[k](aq, adj, app_scores, train=train)
+                    aq_fusion_list.append(aq)
+                    com_app_list.append(com_app)
 
-            for j in range(self.graph_layers):
-                k = i * self.graph_layers + j
-                com_motion = self.mc_gats[k](mq, adj, mot_scores, train=train)
-                mq = self.motion_gats[k](mq, adj, mot_scores, train=train)
-                mq_fusion_list.append(mq)
-                com_motion_list.append(com_motion)
+                for j in range(self.graph_layers):
+                    k = i * self.graph_layers + j
+                    com_motion = self.mc_gats[k](mq, adj, mot_scores, train=train)
+                    mq = self.motion_gats[k](mq, adj, mot_scores, train=train)
+                    mq_fusion_list.append(mq)
+                    com_motion_list.append(com_motion)
 
             # common-vs-specific fusion (reference models.py:162-166)
             aq_embed, _ = self.attention_appearance[i](jnp.stack([com_app, aq], axis=1))
@@ -249,6 +324,8 @@ class DualVGR(nn.Module):
     # mixed-precision knob (cfg.tpu.compute_dtype): static module attribute,
     # so jit functions closing over the model re-key their caches on it
     compute_dtype: str = "float32"
+    # stacked-bank GAT execution on the XLA path (see DualVGRUnitStack)
+    batch_gats: bool = False
 
     @nn.compact
     def __call__(
@@ -303,6 +380,7 @@ class DualVGR(nn.Module):
                 self.use_pallas,
                 self.graph_module,
                 self.compute_dtype,
+                self.batch_gats,
                 name="visual_input_unit",
             )(app, motion, dynamic, words, question_len, train=train)
         )

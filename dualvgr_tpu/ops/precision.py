@@ -59,6 +59,23 @@ def streamed_matmul(x, w, stream_dtype: str | None):
     return xs.astype(jnp.float32) @ ws.astype(jnp.float32)
 
 
+def streamed_einsum(spec: str, x, w, stream_dtype: str | None):
+    """``jnp.einsum(spec, x, w)`` with reduced-precision operands.
+
+    Same policy/backend handling as ``streamed_matmul`` for contractions a
+    plain ``x @ w`` can't express (e.g. per-bank stacked weights,
+    "kbnd,kdh->kbnh").
+    """
+    if stream_dtype is None:
+        return jnp.einsum(spec, x, w)
+    xs = x.astype(stream_dtype)
+    ws = w.astype(stream_dtype)
+    if jax.default_backend() == "tpu":
+        return jnp.einsum(spec, xs, ws, preferred_element_type=jnp.float32)
+    # CPU: upcast the rounded operands (see streamed_matmul)
+    return jnp.einsum(spec, xs.astype(jnp.float32), ws.astype(jnp.float32))
+
+
 class SDense(nn.Module):
     """nn.Dense drop-in whose matmul honors a stream dtype.
 
