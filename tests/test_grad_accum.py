@@ -122,3 +122,55 @@ def test_grad_accum_config_key_merges():
 def test_make_optimizer_rejects_bad_accum():
     with pytest.raises(ValueError):
         train_lib.make_optimizer(1e-3, 10, grad_accum=0)
+
+
+def test_accum_state_shards_with_zero_opt_on_mesh(rng):
+    """The MultiSteps accumulator (a params-sized buffer) rides the ZeRO
+    stage-1 sharding like the Adam moments: a sharded-mesh train step with
+    grad_accum=2 + zero_opt runs, defers the first update, and applies the
+    second — README's claim, exercised on the 8-device mesh."""
+    from dualvgr_tpu.parallel import data_mesh, shard_batch
+    from dualvgr_tpu.parallel.tp import place_state
+
+    model = tiny_model()
+    app, mot, q, qlen, ans = tiny_batch(rng, b=16)
+    opt = train_lib.make_optimizer(1e-3, 10, grad_accum=2)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(0), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+    mesh = data_mesh()
+    state = place_state(state, mesh, zero_opt=True)
+
+    # the accumulator exists and at least one of its big leaves is sharded
+    # over the data axis
+    import optax
+
+    assert isinstance(
+        jax.tree_util.tree_leaves(state.opt_state)[0], jax.Array
+    )
+    sharded = sum(
+        leaf.sharding.spec != jax.sharding.PartitionSpec()
+        for leaf in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(leaf, "sharding")
+        and isinstance(leaf.sharding, jax.sharding.NamedSharding)
+    )
+    assert sharded > 0, "zero_opt must shard optimizer-state leaves"
+
+    step = train_lib.jit_train_step(model, opt, alpha=1.0, beta=1e-8, donate=False)
+    batch1 = shard_batch((app[:8], mot[:8], q[:8], qlen[:8], ans[:8]), mesh)
+    batch2 = shard_batch((app[8:], mot[8:], q[8:], qlen[8:], ans[8:]), mesh)
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+    s1, _ = step(state, batch1)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(s1.params)
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    s2, m2 = step(s1, batch2)
+    assert np.isfinite(float(m2["loss"]))
+    moved = any(
+        float(jnp.abs(jnp.asarray(a) - b).max()) > 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(s2.params)
+        )
+    )
+    assert moved
