@@ -149,10 +149,13 @@ def main():
     cases["eval_xla_per_module"] = (make_eval(False), (variables, eval_inputs))
     cases["eval_xla_batched"] = (make_eval(True), (variables, eval_inputs))
 
-    # warm every configuration first (compiles), then interleave rounds
+    # warm BOTH traces per configuration (jit keys on the static n: the
+    # 1-step baseline and the (steps+1)-chain compile separately), then
+    # interleave timing rounds so even --repeats 1 measures step time
     for name, (fn, fargs) in cases.items():
         print(f"compile {name}...", file=sys.stderr)
         float(fn(*fargs, 1))
+        float(fn(*fargs, args.steps + 1))
 
     best = {k: float("inf") for k in cases}
     for r in range(args.repeats):

@@ -143,12 +143,6 @@ class VideoQADataLoader:
 
         gather_threads = num_workers if num_workers > 0 else None
         self.transfer_dtype = transfer_dtype
-        if transfer_dtype == "bfloat16":
-            import ml_dtypes
-
-            self._feat_dtype = np.dtype(ml_dtypes.bfloat16)
-        else:
-            self._feat_dtype = np.dtype(np.float32)
         self.app_store = FeatureStore(
             appearance_feat, "resnet_features",
             cache_gb=feature_cache_gb, n_threads=gather_threads,
@@ -159,6 +153,9 @@ class VideoQADataLoader:
             cache_gb=feature_cache_gb, n_threads=gather_threads,
             store_dtype=transfer_dtype,
         )
+        # the stores own the transfer-dtype resolution (FeatureStore
+        # validates the knob and exposes the stored dtype)
+        self._feat_dtype = np.dtype(self.app_store.out_dtype)
         self._app_rows = self.app_store.rows_for_video_ids(video_ids)
         self._motion_rows = self.motion_store.rows_for_video_ids(video_ids)
 

@@ -242,7 +242,13 @@ def _main(argv=None):
         np.zeros((1, args.max_q_len), np.int32),
         np.ones((1,), np.int32),
     )
-    optimizer = train_lib.make_optimizer(cfg.train.lr, 1)
+    optimizer = train_lib.make_optimizer(
+        cfg.train.lr, 1,
+        # the checkpointed opt_state's STRUCTURE depends on grad_accum
+        # (optax.MultiSteps wraps the chain): build the restore target
+        # with the same cfg knob or orbax rejects the tree
+        grad_accum=int(cfg.tpu.get("grad_accum", 1)),
+    )
     state = train_lib.create_train_state(
         model,
         jax.random.key(cfg.seed, impl=config_mod.resolved_prng_impl(cfg)),

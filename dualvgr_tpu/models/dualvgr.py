@@ -133,8 +133,12 @@ class DualVGRUnitStack(nn.Module):
             for i in range(u)
         ]
         self.visual_fusion = MFB(d, compute_dtype=cd, name="visual_fusion")
-        # paramless; used by the batched-GAT path (one mask draw per site)
-        self.cycle_drop = nn.Dropout(0.15)
+        # paramless; used by the batched-GAT path (one mask draw per site).
+        # Rate comes from the bank itself so a non-default PunishGAT dropout
+        # keeps the two execution paths' training distributions identical.
+        self.cycle_drop = nn.Dropout(
+            self.ac_gats[0].dropout if self.graph_module == "GAT" else 0.15
+        )
 
     def _gat4_batched(self, x4, scores4, adj, gats, *, train: bool):
         """One iteration's four PunishGATs as ONE stacked computation.

@@ -70,14 +70,38 @@ def make_optimizer(
     """
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
-    updates_per_epoch = max(steps_per_epoch // grad_accum, 1)
+    # the inner schedule sees UPDATE counts; convert exactly back to
+    # micro-steps before dividing by the epoch length so decay boundaries
+    # land on the same epochs even when grad_accum doesn't divide
+    # steps_per_epoch (flooring updates_per_epoch would decay early)
+    micro_schedule = make_lr_schedule(base_lr, steps_per_epoch)
     inner = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adam(make_lr_schedule(base_lr, updates_per_epoch)),
+        optax.adam(lambda count: micro_schedule(count * grad_accum)),
     )
     if grad_accum == 1:
         return inner
     return optax.MultiSteps(inner, every_k_schedule=grad_accum)
+
+
+def reset_grad_accum(state: TrainState) -> TrainState:
+    """Drop a partially-filled gradient-accumulation window after a restore.
+
+    Resume replays the interrupted epoch from its start, so micro-gradients
+    accumulated before the preemption would double-count their samples in
+    the first post-resume update; zero the MultiSteps accumulator and its
+    mini-step counter (the applied-update counter the lr schedule runs on
+    is kept). No-op when the optimizer has no accumulation state.
+    """
+    if not isinstance(state.opt_state, optax.MultiStepsState):
+        return state
+    os_ = state.opt_state
+    return state.replace(
+        opt_state=os_._replace(
+            mini_step=jnp.zeros_like(os_.mini_step),
+            acc_grads=jax.tree_util.tree_map(jnp.zeros_like, os_.acc_grads),
+        )
+    )
 
 
 def create_train_state(

@@ -134,7 +134,13 @@ def main(argv=None):
     )
     import jax
 
-    optimizer = train_lib.make_optimizer(cfg.train.lr, 1)
+    optimizer = train_lib.make_optimizer(
+        cfg.train.lr, 1,
+        # the checkpointed opt_state's STRUCTURE depends on grad_accum
+        # (optax.MultiSteps wraps the chain): build the restore target
+        # with the same cfg knob or orbax rejects the tree
+        grad_accum=int(cfg.tpu.get("grad_accum", 1)),
+    )
     state = train_lib.create_train_state(
         model, jax.random.key(cfg.seed, impl=config_mod.resolved_prng_impl(cfg)),
         (app_feats[:1], mot_feats[:1], questions[:1], qlen[:1]), optimizer,

@@ -162,7 +162,13 @@ def build_engine(cfg, unit_layers: int, max_batch: int, max_wait_ms: float,
         np.zeros((1, max_q_len), np.int32),
         np.ones((1,), np.int32),
     )
-    optimizer = train_lib.make_optimizer(cfg.train.lr, 1)
+    optimizer = train_lib.make_optimizer(
+        cfg.train.lr, 1,
+        # the checkpointed opt_state's STRUCTURE depends on grad_accum
+        # (optax.MultiSteps wraps the chain): build the restore target
+        # with the same cfg knob or orbax rejects the tree
+        grad_accum=int(cfg.tpu.get("grad_accum", 1)),
+    )
     state = train_lib.create_train_state(
         model,
         jax.random.key(cfg.seed, impl=config_mod.resolved_prng_impl(cfg)),

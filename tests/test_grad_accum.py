@@ -124,6 +124,88 @@ def test_make_optimizer_rejects_bad_accum():
         train_lib.make_optimizer(1e-3, 10, grad_accum=0)
 
 
+def test_decay_boundary_non_divisible_epoch():
+    """grad_accum NOT dividing steps_per_epoch must still decay at the same
+    EPOCH: spe=15, K=8 -> update u runs at micro-step 8(u+1); the halving
+    belongs at micro >= 150 (epoch 10), i.e. from update u=19 on — a
+    floored updates-per-epoch schedule would halve ~2x early (u=10)."""
+    k, spe = 8, 15
+    acc = train_lib.make_optimizer(1e-2, steps_per_epoch=spe, grad_accum=k)
+    params = {"w": jnp.ones((2, 2))}
+    state = acc.init(params)
+    g = {"w": jnp.ones((2, 2))}
+    lrs = []
+    for _ in range(8 * 21):
+        upd, state = acc.update(g, state, params)
+        mx = float(jnp.abs(upd["w"]).max())
+        if mx > 0:
+            lrs.append(mx)
+    assert lrs[18] == pytest.approx(lrs[0], rel=1e-5)  # update 18: micro 144 < 150
+    assert lrs[19] == pytest.approx(lrs[0] / 2, rel=1e-5)  # update 19: micro 152
+
+
+def test_checkpoint_roundtrip_with_accum(rng, tmp_path):
+    """A grad_accum train state (MultiSteps opt_state) survives the orbax
+    save/restore round trip when the restore target is built with the same
+    grad_accum — the contract validate/predict/serve/export now honor by
+    passing cfg.tpu.grad_accum to make_optimizer."""
+    from dualvgr_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    model = tiny_model()
+    app, mot, q, qlen, ans = tiny_batch(rng, b=8)
+    opt = train_lib.make_optimizer(1e-3, 10, grad_accum=2)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(0), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+    step = train_lib.jit_train_step(model, opt, alpha=1.0, beta=1e-8, donate=False)
+    state, _ = step(state, (app, mot, q, qlen, ans))  # mini_step = 1
+
+    save_checkpoint(str(tmp_path / "ck"), 0, state, {})
+    target = train_lib.create_train_state(
+        model, jax.random.PRNGKey(1), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+    epoch, restored = restore_checkpoint(str(tmp_path / "ck"), target)
+    assert epoch == 0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.opt_state),
+        jax.tree_util.tree_leaves(restored.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reset_grad_accum_drops_partial_window(rng):
+    """reset_grad_accum zeroes the accumulator + mini-step (resume replays
+    the epoch) and keeps the applied-update counter; no-op without accum."""
+    import optax
+
+    model = tiny_model()
+    app, mot, q, qlen, ans = tiny_batch(rng, b=8)
+    opt = train_lib.make_optimizer(1e-3, 10, grad_accum=2)
+    state = train_lib.create_train_state(
+        model, jax.random.PRNGKey(0), (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    )
+    step = train_lib.jit_train_step(model, opt, alpha=1.0, beta=1e-8, donate=False)
+    state, _ = step(state, (app, mot, q, qlen, ans))
+    assert int(state.opt_state.mini_step) == 1
+    assert any(
+        float(jnp.abs(x).max()) > 0
+        for x in jax.tree_util.tree_leaves(state.opt_state.acc_grads)
+    )
+    reset = train_lib.reset_grad_accum(state)
+    assert int(reset.opt_state.mini_step) == 0
+    assert int(reset.opt_state.gradient_step) == int(state.opt_state.gradient_step)
+    assert all(
+        float(jnp.abs(x).max()) == 0
+        for x in jax.tree_util.tree_leaves(reset.opt_state.acc_grads)
+    )
+
+    plain_opt = train_lib.make_optimizer(1e-3, 10)
+    plain = train_lib.create_train_state(
+        model, jax.random.PRNGKey(0), (app[:1], mot[:1], q[:1], qlen[:1]), plain_opt
+    )
+    assert train_lib.reset_grad_accum(plain) is plain
+
+
 def test_accum_state_shards_with_zero_opt_on_mesh(rng):
     """The MultiSteps accumulator (a params-sized buffer) rides the ZeRO
     stage-1 sharding like the Adam moments: a sharded-mesh train step with

@@ -189,6 +189,9 @@ def train(cfg, stop_event=None):
                 "validation accuracy improves)"
             )
         epoch, state = restore_checkpoint(restore_dir, state)
+        # the restored epoch replays from its start: a partially-filled
+        # grad-accum window would double-count its samples — drop it
+        state = train_lib.reset_grad_accum(state)
         start_epoch = epoch + 1
     state = place_state(state, mesh, zero_opt=cfg.tpu.get("zero_opt", False))
 
@@ -219,11 +222,10 @@ def train(cfg, stop_event=None):
     # the lr actually applied is keyed on the optimizer STEP, which diverges
     # from epoch*steps_per_epoch after restores (imported checkpoints carry
     # epoch with step=0) — log the real schedule value, not an epoch formula
-    # with grad_accum, the schedule counts optimizer UPDATES (state.step
-    # counts micro-steps) — mirror make_optimizer's conversion
-    lr_schedule = train_lib.make_lr_schedule(
-        cfg.train.lr, max(steps_per_epoch // grad_accum, 1)
-    )
+    # micro-step-unit schedule; the applied-lr lookup below converts the
+    # last APPLIED update's count back to micro-steps (exactly what
+    # make_optimizer's inner schedule sees, including non-divisible epochs)
+    lr_schedule = train_lib.make_lr_schedule(cfg.train.lr, steps_per_epoch)
 
     logging.info("Start training........")
     for epoch in range(start_epoch, cfg.train.max_epochs):
@@ -291,7 +293,11 @@ def train(cfg, stop_event=None):
                             float(last["correct"]) / max(int(last["count"]), 1), 6
                         ),
                         avg_acc=round(total_correct / max(total_count, 1), 6),
-                        lr=float(lr_schedule(max(opt_step // grad_accum - 1, 0))),
+                        lr=float(
+                            lr_schedule(
+                                max((opt_step // grad_accum - 1) * grad_accum, 0)
+                            )
+                        ),
                     )
         sys.stdout.write("\n")
         if preempted:

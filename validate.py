@@ -92,7 +92,13 @@ def main(argv=None):
 
     # metadata-only example shapes (no batch pull, no producer thread)
     example = test_loader.example_batch(1)
-    optimizer = train_lib.make_optimizer(cfg.train.lr, len(test_loader))
+    optimizer = train_lib.make_optimizer(
+        cfg.train.lr, len(test_loader),
+        # the checkpointed opt_state's STRUCTURE depends on grad_accum
+        # (optax.MultiSteps wraps the chain): build the restore target
+        # with the same cfg knob or orbax rejects the tree
+        grad_accum=int(cfg.tpu.get("grad_accum", 1)),
+    )
     state = train_lib.create_train_state(model, jax.random.key(cfg.seed, impl=config_mod.resolved_prng_impl(cfg)), example, optimizer)
     _, state = restore_checkpoint(ckpt_dir, state)
 
