@@ -75,9 +75,15 @@ def make_optimizer(
     # land on the same epochs even when grad_accum doesn't divide
     # steps_per_epoch (flooring updates_per_epoch would decay early)
     micro_schedule = make_lr_schedule(base_lr, steps_per_epoch)
+    if grad_accum == 1:
+        # identical trace to the pre-accumulation optimizer (keeps compiled
+        # train-step cache entries valid for the default configuration)
+        schedule = micro_schedule
+    else:
+        schedule = lambda count: micro_schedule(count * grad_accum)
     inner = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adam(lambda count: micro_schedule(count * grad_accum)),
+        optax.adam(schedule),
     )
     if grad_accum == 1:
         return inner
