@@ -38,11 +38,15 @@ def _bf16() -> np.dtype:
     return np.dtype(ml_dtypes.bfloat16)
 
 
-def _cast_bf16(x: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
+def _cast_bf16(
+    x: np.ndarray,
+    out: np.ndarray | None = None,
+    n_threads: int | None = None,
+) -> np.ndarray:
     """RNE float32 -> bfloat16, threaded when the native lib is present."""
     from dualvgr_tpu.data import native
 
-    got = native.cast_f32_to_bf16(x, out=out)
+    got = native.cast_f32_to_bf16(x, out=out, n_threads=n_threads)
     if got is not None:
         return got
     casted = np.ascontiguousarray(x, dtype=np.float32).astype(_bf16())
@@ -52,13 +56,17 @@ def _cast_bf16(x: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
     return out
 
 
-def _load_as_bf16(dset: "h5py.Dataset", rows_per_chunk: int = 256) -> np.ndarray:
+def _load_as_bf16(
+    dset: "h5py.Dataset",
+    rows_per_chunk: int = 256,
+    n_threads: int | None = None,
+) -> np.ndarray:
     """Read an HDF5 float32 dataset into a bfloat16 array chunk-by-chunk,
     so peak host RAM stays ~the bf16 size (half the fp32 file), never both."""
     out = np.empty(dset.shape, dtype=_bf16())
     for start in range(0, dset.shape[0], rows_per_chunk):
         stop = min(start + rows_per_chunk, dset.shape[0])
-        _cast_bf16(dset[start:stop], out=out[start:stop])
+        _cast_bf16(dset[start:stop], out=out[start:stop], n_threads=n_threads)
     return out
 
 
@@ -99,7 +107,7 @@ class FeatureStore:
             if stored_bytes > cache_gb * 1e9:
                 self._cache = None
             elif store_dtype == "bfloat16":
-                self._cache = _load_as_bf16(dset)
+                self._cache = _load_as_bf16(dset, n_threads=self.n_threads)
             else:
                 self._cache = dset[()]
         # {str(video_id): h5 row} exactly like the reference (DataLoader.py:141-147)
@@ -131,7 +139,8 @@ class FeatureStore:
         with self._lock:
             block = self._file[self.dataset_name][uniq]  # sorted unique read
         if self.out_dtype != block.dtype:
-            block = _cast_bf16(block)  # file-backed bfloat16: cast per batch
+            # file-backed bfloat16: cast per batch
+            block = _cast_bf16(block, n_threads=self.n_threads)
         return block[inverse]
 
     def close(self):
