@@ -236,10 +236,24 @@ def model_runtime_kwargs(cfg: Config) -> dict:
     attributes, so jit caches key on them): use_pallas + compute_dtype.
     All three CLI drivers build their model with these. Under tensor
     parallelism the Pallas kernels are disabled: a pallas_call is opaque
-    to the SPMD partitioner, while the XLA path partitions cleanly."""
+    to the SPMD partitioner, while the XLA path partitions cleanly.
+    That fallback is LOUD (a warning log) so a user enabling
+    tensor_parallel on TPU knows they traded the fused-kernel speedup
+    for sharded parameters rather than silently losing it."""
     tp = int(cfg.tpu.get("tensor_parallel", 1))
+    pallas = resolved_use_pallas(cfg)
+    if pallas and tp > 1:
+        import logging
+
+        logging.warning(
+            "tpu.tensor_parallel=%d forces the XLA (non-Pallas) execution "
+            "path: pallas_call is opaque to the SPMD partitioner, so the "
+            "fused-kernel speedup does not compose with tensor parallelism. "
+            "Set tensor_parallel: 1 to get the Pallas kernels back.",
+            tp,
+        )
     return {
-        "use_pallas": resolved_use_pallas(cfg) and tp <= 1,
+        "use_pallas": pallas and tp <= 1,
         "compute_dtype": cfg.tpu.compute_dtype,
     }
 

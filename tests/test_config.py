@@ -73,3 +73,30 @@ def test_attribute_access():
     assert c.a.b == 3
     c.a.b = 4
     assert c["a"]["b"] == 4
+
+
+def test_tp_forces_xla_path_loudly(caplog):
+    """tensor_parallel > 1 disables the Pallas kernels AND logs a warning
+    (a silent ~2.4x kernel-path speedup loss would be a footgun)."""
+    import logging
+
+    from dualvgr_tpu.config import model_runtime_kwargs
+
+    c = default_config()
+    c.tpu.use_pallas = True  # explicit: pallas requested
+    c.tpu.tensor_parallel = 2
+    with caplog.at_level(logging.WARNING):
+        kw = model_runtime_kwargs(c)
+    assert kw["use_pallas"] is False
+    assert any(
+        "tensor_parallel" in r.message and "Pallas" in r.message
+        for r in caplog.records
+    ), f"expected a loud TP-forces-XLA warning, got {caplog.records}"
+
+    # no warning when pallas is off or tp == 1
+    caplog.clear()
+    c.tpu.tensor_parallel = 1
+    with caplog.at_level(logging.WARNING):
+        kw = model_runtime_kwargs(c)
+    assert kw["use_pallas"] is True
+    assert not caplog.records
