@@ -11,7 +11,11 @@ initialization on the same synthetic fixture.
 
 Protocol
   1. Generate a learnable synthetic SVQA fixture (latent-class features;
-     answers a deterministic function of class x first token).
+     answers a deterministic function of class x first token) with 30%
+     LABEL NOISE in every split, so both stacks plateau near the val
+     clean-label fraction (~0.7) instead of saturating at 100% — parity
+     measured at a sub-ceiling plateau actually discriminates between
+     stacks (round-3 verdict item 2).
   2. Subprocess: the reference's train() runs E epochs on it
      (benchmarks/reference_train_worker.py), recording per-epoch val
      accuracy and dumping its initial + final state_dicts.
@@ -51,7 +55,7 @@ sys.path.insert(0, REPO)
 
 FIXTURE = dict(
     dataset="svqa",
-    num_videos=120,
+    num_videos=160,
     questions_per_video=4,
     num_clips=4,
     vision_dim=64,
@@ -64,6 +68,15 @@ FIXTURE = dict(
     batch_size=32,
     seed=0,
     category_names=True,  # the reference loader can only consume string cats
+    # De-saturated fixture (round-3 verdict item 2): 30% of answers are
+    # replaced with a random different answer, in EVERY split, so both
+    # stacks plateau near the val clean-label fraction (~0.7) instead of
+    # the 100% ceiling. Parity at a sub-ceiling plateau discriminates:
+    # a model that learns the true answer function scores exactly the
+    # clean fraction (noisy val labels are unpredictable by construction),
+    # so stack-level accuracy deltas are visible instead of being hidden
+    # by saturation.
+    label_noise=0.3,
 )
 LR = 1e-3
 ALPHA, BETA = 1.0, 1e-8
@@ -209,25 +222,36 @@ def run_ours(data_dir: str, ref_out: str, epochs: int) -> dict:
     }
 
 
-def run(out_dir: str, epochs: int = 8) -> dict:
+def run(out_dir: str, epochs: int = 10) -> dict:
     from dualvgr_tpu.data.synthetic import generate
 
     data_dir = os.path.join(out_dir, "data")
     ref_out = os.path.join(out_dir, "ref")
-    generate(data_dir, max_epochs=epochs, **FIXTURE)
+    gen = generate(data_dir, max_epochs=epochs, **FIXTURE)
     ref = run_reference(data_dir, ref_out, epochs)
     ours = run_ours(data_dir, ref_out, epochs)
 
     n_val = ref["n_val"]
+    # plateau = mean of the last 3 epochs: averages out per-epoch argmax
+    # jitter once both stacks have converged, making the stack-vs-stack
+    # delta comparable at the (sub-ceiling) plateau
+    k = min(3, epochs)
+    ref_plateau = float(np.mean(ref["val_acc"][-k:]))
+    ours_plateau = float(np.mean(ours["val_acc"][-k:]))
     result = {
-        "fixture": {k: v for k, v in FIXTURE.items() if k != "category_names"},
+        "fixture": {k_: v for k_, v in FIXTURE.items() if k_ != "category_names"},
         "epochs": epochs,
         "lr": LR,
         "n_val": n_val,
+        "val_clean_fraction": gen["val_clean_fraction"],
+        "noise_stats": gen["noise_stats"],
         "reference_val_acc": ref["val_acc"],
         "ours_val_acc": ours["val_acc"],
         "final_delta": ours["val_acc"][-1] - ref["val_acc"][-1],
         "best_delta": max(ours["val_acc"]) - max(ref["val_acc"]),
+        "ref_plateau": ref_plateau,
+        "ours_plateau": ours_plateau,
+        "plateau_delta": ours_plateau - ref_plateau,
         "ref_final_val_acc": ref["val_acc"][-1],
         "anchor_acc_on_ref_final_weights": ours["anchor_acc_on_ref_final_weights"],
         "anchor_abs_delta": abs(
@@ -240,7 +264,7 @@ def run(out_dir: str, epochs: int = 8) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or tempfile.mkdtemp(prefix="refparity_")
@@ -249,6 +273,12 @@ def main():
     print(f"\n{'epoch':>5} {'reference':>10} {'ours':>10} {'delta':>8}")
     for e, (r, o) in enumerate(zip(result["reference_val_acc"], result["ours_val_acc"])):
         print(f"{e:>5} {r:>10.4f} {o:>10.4f} {o - r:>+8.4f}")
+    print(
+        f"\nplateau (mean last 3): reference {result['ref_plateau']:.4f} "
+        f"ours {result['ours_plateau']:.4f} "
+        f"(delta {result['plateau_delta']:+.4f}; "
+        f"val clean fraction = ceiling {result['val_clean_fraction']:.4f})"
+    )
     print(
         f"\nanchor (our eval stack on reference FINAL weights): "
         f"{result['anchor_acc_on_ref_final_weights']:.4f} vs reference's own "

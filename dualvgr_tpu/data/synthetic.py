@@ -54,8 +54,20 @@ def generate(
     batch_size: int = 32,
     max_epochs: int = 2,
     category_names: bool = False,
+    label_noise: float = 0.0,
 ) -> dict:
-    """Write all artifacts; returns {'config': path to the YAML, ...}."""
+    """Write all artifacts; returns {'config': path to the YAML, ...}.
+
+    ``label_noise``: probability of replacing each question's answer with a
+    uniformly-random DIFFERENT answer (deterministic under ``seed``, applied
+    to every split). A noisy fixture makes accuracy plateau at roughly the
+    clean-label fraction instead of saturating at 100% — parity claims
+    measured at a sub-ceiling plateau actually discriminate between stacks,
+    because any roughly-correct implementation saturates a noise-free
+    fixture. The returned dict carries ``noise_stats`` and
+    ``val_clean_fraction`` (the Bayes-style accuracy ceiling on val: a model
+    that learns the true answer function exactly scores the clean fraction,
+    since noisy val labels are unpredictable by construction)."""
     rng = np.random.RandomState(seed)
     os.makedirs(out_dir, exist_ok=True)
     name = dataset
@@ -102,9 +114,12 @@ def generate(
     bucket_words = ["what", "who", "how", "when", "where"]
     glove = rng.randn(len(question_token_to_idx), word_dim).astype(np.float32) * 0.1
 
+    noise_stats: dict = {}
+
     def make_split(mode: str, vids: np.ndarray, qid_start: int):
         qs, qlens, qids, vid_list, answers, cats = [], [], [], [], [], []
         qid = qid_start
+        n_noised = 0
         for v in vids:
             for k in range(questions_per_video):
                 first = question_token_to_idx[bucket_words[k % len(bucket_words)]]
@@ -121,6 +136,14 @@ def generate(
                 ans = 2 + (int(latent[v]) * len(bucket_words) + (k % len(bucket_words))) % (
                     num_answers - 2
                 )
+                # short-circuit keeps the rng stream (and thus every
+                # artifact) byte-identical to pre-noise fixtures when
+                # label_noise == 0
+                if label_noise > 0.0 and rng.rand() < label_noise:
+                    ans = 2 + (ans - 2 + int(rng.randint(1, num_answers - 2))) % (
+                        num_answers - 2
+                    )
+                    n_noised += 1
                 answers.append(ans)
                 cat = int(rng.randint(0, 15))
                 # category_names: store the loader-side string names
@@ -146,6 +169,7 @@ def generate(
         path = os.path.join(out_dir, f"{name}_{mode}_questions.pt")
         with open(path, "wb") as f:
             pickle.dump(obj, f)
+        noise_stats[mode] = {"noised": n_noised, "total": len(answers)}
         return qid
 
     n_train = int(num_videos * 0.7)
@@ -191,11 +215,14 @@ dataset:
   save_dir: '{os.path.join(out_dir, "results")}/'
 """
         )
+    val_stats = noise_stats.get("val", {"noised": 0, "total": 1})
     return {
         "config": cfg_path,
         "vocab": vocab_path,
         "appearance": app_path,
         "motion": mot_path,
+        "noise_stats": noise_stats,
+        "val_clean_fraction": 1.0 - val_stats["noised"] / max(val_stats["total"], 1),
     }
 
 
@@ -214,6 +241,7 @@ def main():
     p.add_argument("--module-dim", type=int, default=96)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--max-epochs", type=int, default=2)
+    p.add_argument("--label-noise", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     paths = generate(
@@ -230,6 +258,7 @@ def main():
         module_dim=args.module_dim,
         batch_size=args.batch_size,
         max_epochs=args.max_epochs,
+        label_noise=args.label_noise,
         seed=args.seed,
     )
     for k, v in paths.items():

@@ -37,10 +37,19 @@ def test_full_training_stack_parity(tmp_path):
     # fp-boundary argmax flips)
     assert r["anchor_abs_delta"] <= two, r
 
-    # (b) both training stacks actually learn the fixture to convergence
-    assert ref[-1] >= 0.9 and ours[-1] >= 0.9, r
+    # (b) the fixture is DE-SATURATED (30% label noise): both stacks must
+    # learn well above chance (~0.1) yet stay at/below the clean-label
+    # ceiling — parity at a sub-ceiling plateau actually discriminates,
+    # because any roughly-correct stack saturates a noise-free fixture
+    ceiling = r["val_clean_fraction"]
+    assert ceiling <= 0.85, f"fixture failed to de-saturate: {r}"
+    for name, plateau in (("ref", r["ref_plateau"]), ("ours", r["ours_plateau"])):
+        assert 0.4 <= plateau <= ceiling + two, (name, plateau, r)
 
-    # (c) converged accuracy parity (trajectories legitimately differ in
-    # shuffle order + dropout streams; the converged level is comparable)
-    assert abs(r["final_delta"]) <= 3.0 / r["n_val"] + 1e-9, r
-    assert abs(r["best_delta"]) <= 3.0 / r["n_val"] + 1e-9, r
+    # (c) plateau-level accuracy parity (trajectories legitimately differ
+    # in shuffle order + dropout streams; the mean of the last 3 epochs is
+    # the comparable). 0.05 covers two independently-trained stacks' seed
+    # variation at 6 epochs on n_val=96 while still catching any
+    # systematic stack-level accuracy gap (the 10-epoch artifact in
+    # benchmarks/reference_train_parity.json measures |delta| ~0.007).
+    assert abs(r["plateau_delta"]) <= 0.05 + 1e-9, r
