@@ -78,11 +78,12 @@ def _time_interleaved(named, repeats=5):
     for fn, args, steps in named.values():  # warm/compile pass
         float(fn(*args, 1))
         float(fn(*args, steps + 1))
-    best = {k: float("inf") for k in named}
+    raw = {k: [] for k in named}
     for _ in range(repeats):
         for k, (fn, args, steps) in named.items():
-            best[k] = min(best[k], _measure_once(fn, args, steps))
-    return best
+            raw[k].append(_measure_once(fn, args, steps))
+    best = {k: min(v) for k, v in raw.items()}
+    return best, raw
 
 
 def _stage(msg):
@@ -334,6 +335,71 @@ def main():
         "train": (make_chained_train(model), (state, train_batch), train_steps),
     }
 
+    # ---- trained-weights agreement gates (round-3 verdict item 1) ----
+    # benchmarks/fastpath_accuracy.py leaves a bundle of TRAINED params +
+    # a real val micro-batch; when present, the fast-path agreement is
+    # re-measured there instead of only at random init (where 4k-way logits
+    # are near-tied and argmax agreement is a worst case). Skipped silently
+    # when the bundle is absent (fresh checkout) or the clock budget is hit.
+    trained = {}
+    bundle_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "fastpath_trained.msgpack",
+    )
+    if os.path.exists(bundle_path) and time.time() - _T_START < float(
+        os.environ.get("BENCH_TIME_BUDGET", "420")
+    ):
+        import flax.serialization
+
+        from dualvgr_tpu.models import DualVGR as _DualVGR
+
+        with open(bundle_path, "rb") as f:
+            bundle = flax.serialization.msgpack_restore(f.read())
+        mk = {
+            k: (int(v) if isinstance(v, (int, np.integer)) else v)
+            for k, v in bundle["model_kwargs"].items()
+        }
+        vb = bundle["val_batch"]
+        t_inputs = tuple(
+            jnp.asarray(vb[k]) for k in ("app", "mot", "q", "qlen")
+        )
+        t_vars = {
+            "params": bundle["params"],
+            "batch_stats": bundle.get("batch_stats") or {},
+        }
+
+        def _t_logits(m_):
+            return np.asarray(
+                jax.jit(
+                    lambda v, i: m_.apply(
+                        v, i[0], i[1], i[2], i[3], train=False
+                    ).logits
+                )(t_vars, t_inputs)
+            )
+
+        t_anchor = _t_logits(_DualVGR(use_pallas=False, **mk))
+        t16 = _t_logits(
+            _DualVGR(use_pallas=False, compute_dtype="bfloat16", **mk)
+        )
+        trained = {
+            "trained_n": int(t_anchor.shape[0]),
+            "trained_bf16_argmax_agreement": round(
+                float((t16.argmax(-1) == t_anchor.argmax(-1)).mean()), 4
+            ),
+            "trained_bf16_max_abs_err": round(
+                float(np.max(np.abs(t16 - t_anchor))), 5
+            ),
+        }
+        if use_pallas:
+            tp_ = _t_logits(_DualVGR(use_pallas=True, **mk))
+            trained["trained_pallas_argmax_agreement"] = round(
+                float((tp_.argmax(-1) == t_anchor.argmax(-1)).mean()), 4
+            )
+            trained["trained_pallas_max_abs_err"] = round(
+                float(np.max(np.abs(tp_ - t_anchor))), 5
+            )
+        _stage("trained-weights gates done")
+
     # ---- secondary: bf16 compute_dtype (interleaved with fp32) ----
     # Measures the mixed-precision path (bf16 operands in every wide matmul,
     # fp32 accumulate/params/recurrence) and its numeric distance from fp32
@@ -372,7 +438,7 @@ def main():
             make_chained_train(model16), (state, train_batch), train_steps
         )
 
-    per = _time_interleaved(plans)
+    per, raw = _time_interleaved(plans)
     _stage("interleaved timing done")
 
     eval_per_step = per["eval"]
@@ -420,6 +486,13 @@ def main():
                 "baseline_qa_per_sec": baseline,
                 "pallas_gate": gates["eval"],
                 "train_grad_gate": gates["train_grads"],
+                # per-round raw per-step times (ms) for every configuration:
+                # lets a reader separate real regressions from tunnel drift
+                # (the headline is the min; the spread is the drift)
+                "raw_ms_per_round": {
+                    k: [round(t * 1e3, 3) for t in v] for k, v in raw.items()
+                },
+                **trained,
                 **bf16,
             }
         )
