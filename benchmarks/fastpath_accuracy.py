@@ -349,6 +349,20 @@ def main():
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    # persistent compile cache: first compiles of the 7 flagship-shape
+    # programs cost minutes each through a tunneled TPU; a timed-out run
+    # still populates the cache, so a rerun finishes (same policy as
+    # bench.py)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     out_dir = args.out or tempfile.mkdtemp(prefix="fastpath_")
     result = run(out_dir, epochs=args.epochs)
 

@@ -133,6 +133,59 @@ def main():
     )
     loader.close()
 
+    # ---- phase 3: ZeRO-1 x grad-accum x host-sharded loading together ----
+    # (round-3 verdict item 6). Fresh loader, same seed: the optimizer
+    # accumulates 2 micro-batches per update with Adam moments ZeRO-sharded
+    # over the cross-process data axis, consuming host-sharded batches. The
+    # parent asserts the micro-step-2 loss equals a single-process run over
+    # the same two global batches — optimizer sharding and host-sharded
+    # loading must not change the global-batch math.
+    loader3 = VideoQADataLoader(
+        question_pt=f"{synth}/svqa_train_questions.pt",
+        vocab_json=f"{synth}/svqa_vocab.json",
+        appearance_feat=f"{synth}/svqa_appearance_feat.h5",
+        motion_feat=f"{synth}/svqa_motion_feat.h5",
+        batch_size=bs,
+        shuffle=True,
+        seed=11,
+        host_index=jax.process_index(),
+        host_count=jax.process_count(),
+    )
+    from dualvgr_tpu.parallel import place_state
+
+    opt3 = train_lib.make_optimizer(1e-3, 10, grad_accum=2)
+    state3 = train_lib.create_train_state(
+        model2, jax.random.PRNGKey(7), loader3.example_batch(1), opt3
+    )
+    state3 = place_state(state3, mesh, zero_opt=True)
+    # donate=False: p0 below references a pre-step param buffer, which
+    # donation would delete out from under the moved-check
+    step3 = train_lib.jit_train_step(model2, opt3, alpha=1.0, beta=1e-8, donate=False)
+    p0 = jax.tree_util.tree_leaves(state3.params)[0]
+    it3 = iter(loader3)
+    losses = []
+    for _ in range(2):
+        b3 = next(it3)
+        batch3 = shard_batch_local(
+            (b3.appearance_feat, b3.motion_feat, b3.question, b3.question_len,
+             b3.answer, b3.valid),
+            mesh,
+        )
+        state3, m3 = step3(state3, batch3)
+        losses.append(float(m3["loss"]))
+    # the accumulated update applied exactly at micro-step 2
+    moved = float(
+        jax.jit(lambda a, b: abs(a - b).max())(
+            jax.tree_util.tree_leaves(state3.params)[0], p0
+        )
+    )
+    print(
+        f"MULTIHOST_ZGA {jax.process_index()} loss={losses[1]:.6f} "
+        f"moved={'yes' if moved > 0 else 'no'}",
+        flush=True,
+    )
+    loader3.close()
+
 
 if __name__ == "__main__":
     main()
