@@ -341,6 +341,9 @@ def main():
     # re-measured there instead of only at random init (where 4k-way logits
     # are near-tied and argmax agreement is a worst case). Skipped silently
     # when the bundle is absent (fresh checkout) or the clock budget is hit.
+    # NOTE: trained_bf16_max_abs_err == 0.0 is the EXPECTED on-chip value —
+    # TPU fp32 matmuls default to a single bf16 MXU pass, so the eval-path
+    # streaming is bitwise-identical (benchmarks/precision_probe.py).
     trained = {}
     bundle_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

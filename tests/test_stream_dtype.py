@@ -51,6 +51,27 @@ def test_lstm_unroll_honors_stream_dtype(rng):
     assert g.w_ih.dtype == jnp.float32  # grads cast back to param dtype
 
 
+def test_streaming_applies_real_rounding_on_cpu(rng):
+    """On the CPU test tier, bf16 streaming must apply GENUINE operand
+    rounding under jit — otherwise every closeness assertion in this file
+    would pass vacuously. (On TPU the fp32 path's Precision.DEFAULT already
+    truncates MXU operands to bf16, so streaming is bitwise-identical there;
+    see benchmarks/precision_probe.py. CPU has no such truncation and XLA
+    does not fold the f32->bf16->f32 convert chain, so a nonzero diff here
+    proves the tests exercise real reduced precision.)"""
+    import jax
+
+    x = jnp.asarray(rng.randn(64, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(128, 96).astype(np.float32))
+    plain = jax.jit(lambda x, w: x @ w)(x, w)
+    streamed = jax.jit(lambda x, w: streamed_matmul(x, w, "bfloat16"))(x, w)
+    diff = float(jnp.abs(plain - streamed).max())
+    if jax.default_backend() == "tpu":  # pragma: no cover - CPU tier
+        assert diff == 0.0  # DEFAULT precision == explicit bf16 on the MXU
+    else:
+        assert diff > 1e-3  # real rounding: ~2^-8 relative on O(10) sums
+
+
 def test_streamed_matmul_and_sdense(rng):
     import jax
 
