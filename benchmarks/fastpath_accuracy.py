@@ -282,19 +282,39 @@ def run(out_dir: str, epochs: int = 12, fixture_overrides: dict | None = None,
             ),
         }
 
-    # ---- end-to-end bf16 training from the same init ----
-    model_bf16 = _build_model(fix, vs, na, use_pallas=False, compute_dtype="bfloat16")
-    state16 = _train(fix, model_bf16, app_d, mot_d, train_split, epochs, train_split["glove"])
-    correct16 = 0
-    for mode, split in evals.items():
-        preds = _predict(fix, model_bf16, state16, app_d, mot_d, split)
-        correct16 += int((preds == eval_q[mode]).sum())
-    acc16 = correct16 / n_eval
-    results["bf16_trained_end_to_end"] = {
-        "accuracy": round(acc16, 6),
-        "n_eval": n_eval,
-        "delta_vs_fp32_trained": round(acc16 - results["fp32_xla"]["accuracy"], 6),
+    # ---- end-to-end reduced-precision training from the same init ----
+    # bf16_trained_end_to_end: XLA path. The exact-f32 custom VJPs
+    # (dualvgr_tpu/ops/precision.py) make a single train step bitwise-equal
+    # to fp32 on TPU at probe shapes (benchmarks/precision_probe.py,
+    # precision_ladder.py) — this measures whether that equality inducts
+    # over the full trajectory at harness scale (B=32, T=16, GloVe, in-jit
+    # gathers); benchmarks/bf16_divergence_bisect.py locates the first
+    # diverging step when it does not.
+    # pallas_bf16_trained_end_to_end: the full TPU-fast TRAIN deployment
+    # (fused kernels + bf16). The appearance kernel genuinely streams its
+    # gate projections in bf16 (halved HBM traffic of the model's largest
+    # activation), so this one is a real accuracy measurement, not an
+    # identity.
+    train_cfgs = {
+        "bf16_trained_end_to_end": dict(use_pallas=False, compute_dtype="bfloat16"),
     }
+    if on_tpu:
+        train_cfgs["pallas_bf16_trained_end_to_end"] = dict(
+            use_pallas=True, compute_dtype="bfloat16"
+        )
+    for name, mkw in train_cfgs.items():
+        m16 = _build_model(fix, vs, na, **mkw)
+        state16 = _train(fix, m16, app_d, mot_d, train_split, epochs, train_split["glove"])
+        correct16 = 0
+        for mode, split in evals.items():
+            preds = _predict(fix, m16, state16, app_d, mot_d, split)
+            correct16 += int((preds == eval_q[mode]).sum())
+        acc16 = correct16 / n_eval
+        results[name] = {
+            "accuracy": round(acc16, 6),
+            "n_eval": n_eval,
+            "delta_vs_fp32_trained": round(acc16 - results["fp32_xla"]["accuracy"], 6),
+        }
 
     out = {
         "fixture": dict(fix),

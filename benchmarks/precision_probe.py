@@ -19,12 +19,23 @@ Finding (v5e, committed in precision_probe.json):
     - the measured compute_dtype eval speedup is an HBM-traffic win
       (bf16 operands stored/read at half the bytes between fusions), not
       an MXU-math change.
-    - bf16 END-TO-END TRAINING still diverges (fastpath_accuracy.json:
-      -3.3% on the plateau fixture): under jax.grad the cotangent of a
-      bf16-dtyped operand is itself bf16, so gradient intermediates are
-      rounded at every streamed matmul — rounding the fp32 DEFAULT path
-      never applies. Eval streaming and train streaming are different
-      numeric claims; only the former is identity on TPU.
+    - bf16 END-TO-END TRAINING diverged in round 3 (-3.3% on the plateau
+      fixture): under plain jax.grad the cotangent of a bf16-dtyped
+      operand is itself bf16, so gradient intermediates were rounded at
+      every streamed matmul — rounding the fp32 DEFAULT path never
+      applies. FIXED in round 4: the streamed ops carry a custom VJP
+      (dualvgr_tpu/ops/precision.py) that computes both cotangents as
+      bf16-operand/f32-accumulation contractions with f32 OUTPUTS —
+      bitwise what fp32 DEFAULT training computes on the MXU. The
+      ``train_step`` section below pins the consequence on-chip: a full
+      DualVGR train step (loss, grads, Adam update) under
+      compute_dtype=bfloat16 is BITWISE-IDENTICAL to the fp32 step,
+      sustained over multiple steps.
+
+* XLA:TPU folds a bare f32->bf16->f32 convert round-trip under jit
+  (``roundtrip_fold`` below): the XLA LSTM path's gate-stream round-trip
+  (ops/lstm.py) is a forward no-op on TPU, and ``stream_roundtrip``'s
+  identity backward makes it transparent to training as well.
 
 * On CPU (the test tier), there is no DEFAULT-precision truncation and
   XLA does not fold the f32->bf16->f32 convert chain: streaming applies
@@ -116,6 +127,73 @@ def run() -> dict:
         l16 = logits(DualVGR(use_pallas=False, compute_dtype="bfloat16", **mk))
         out["trained_model_fp32_vs_bf16_max_abs"] = float(np.abs(l32 - l16).max())
         out["trained_model_bitwise_identical"] = bool(np.array_equal(l32, l16))
+
+    # does XLA fold a bare f32->bf16->f32 convert round-trip under jit?
+    # (TPU: yes — the LSTM gate-stream round-trip is a forward no-op;
+    # CPU: no — the test tier exercises genuine rounding)
+    rt = jax.jit(lambda x: x.astype(jnp.bfloat16).astype(jnp.float32))
+    rt_diff = float(np.abs(np.asarray(rt(x)) - np.asarray(x)).max())
+    out["roundtrip_fold_max_abs"] = rt_diff
+    out["roundtrip_folds_to_identity"] = rt_diff == 0.0
+
+    # ---- training-step bitwise equality (the round-4 exact-VJP claim) ----
+    # a full DualVGR train step (fwd, aux losses, grads, clip, Adam) under
+    # compute_dtype=bfloat16 vs fp32, same init/batches/dropout keys: with
+    # the exact-f32 custom VJPs every streamed cotangent is computed as a
+    # bf16-operand/f32-out contraction == what fp32 DEFAULT computes on the
+    # MXU, so on TPU the two runs must stay bitwise-identical step by step.
+    from dualvgr_tpu import train_lib
+    from dualvgr_tpu.models import DualVGR as _DualVGR
+
+    kw = dict(
+        vision_dim=256, module_dim=128, word_dim=64, question_vocab_size=120,
+        num_answers=24, num_of_nodes=4, graph_layers=1, unit_layers=1,
+        use_pallas=False,
+    )
+    B, T, F = 8, 9, 16
+    rng = np.random.RandomState(7)
+    app = jnp.asarray(rng.randn(B, kw["num_of_nodes"], F, kw["vision_dim"]).astype(np.float32))
+    mot = jnp.asarray(rng.randn(B, kw["num_of_nodes"], kw["vision_dim"]).astype(np.float32))
+    q = jnp.asarray(rng.randint(1, kw["question_vocab_size"], (B, T)).astype(np.int32))
+    qlen = jnp.asarray(rng.randint(1, T + 1, (B,)).astype(np.int32))
+    valid = jnp.ones((B,), jnp.float32)
+    example = (app[:1], mot[:1], q[:1], qlen[:1])
+    opt = train_lib.make_optimizer(1e-3, 4)
+
+    def steps(model, n=5):
+        state = train_lib.create_train_state(
+            model, jax.random.PRNGKey(11), example, opt
+        )
+        step = jax.jit(
+            lambda s, b: train_lib.train_step(
+                s, b, model=model, optimizer=opt, alpha=1.0, beta=1e-8
+            ),
+            donate_argnums=(0,),
+        )
+        for i in range(n):
+            ans = jnp.asarray(
+                np.random.RandomState(100 + i).randint(0, kw["num_answers"], (B,))
+                .astype(np.int32)
+            )
+            state, _ = step(state, (app, mot, q, qlen, ans, valid))
+        return jax.device_get(state.params)
+
+    p32 = steps(_DualVGR(**kw))
+    p16 = steps(_DualVGR(compute_dtype="bfloat16", **kw))
+    leaves32 = jax.tree_util.tree_leaves(p32)
+    leaves16 = jax.tree_util.tree_leaves(p16)
+    diverged = sum(
+        0 if np.array_equal(a, b) else 1 for a, b in zip(leaves32, leaves16)
+    )
+    out["train_step"] = {
+        "steps": 5,
+        "param_leaves": len(leaves32),
+        "leaves_diverged_after_5_steps": diverged,
+        "bf16_train_bitwise_equals_fp32": diverged == 0,
+        "max_abs_param_diff": float(
+            max(np.abs(a - b).max() for a, b in zip(leaves32, leaves16))
+        ),
+    }
     return out
 
 

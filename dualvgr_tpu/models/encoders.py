@@ -104,9 +104,14 @@ class BiLSTM(nn.Module):
             if fused in ("trainable", "trainable_final") and sd is not None:
                 # the trainable kernels stream fp32; round-trip through the
                 # stream dtype so their forward numerics match the XLA path
-                # (which applies the same rounding — see ops/lstm.py)
-                xf = xf.astype(sd).astype(x.dtype)
-                xb = xb.astype(sd).astype(x.dtype)
+                # (which applies the same rounding — see ops/lstm.py).
+                # stream_roundtrip keeps the gradient exact-f32: on TPU the
+                # forward pair folds and the backward is identity, so the
+                # kernel-path bf16 training matches fp32 bitwise here too.
+                from dualvgr_tpu.ops.precision import stream_roundtrip
+
+                xf = stream_roundtrip(xf, sd)
+                xb = stream_roundtrip(xb, sd)
             if fused in ("trainable", "trainable_final"):
                 # masked custom-VJP kernel pair (the question encoders'
                 # training path); per-step outputs only where consumed

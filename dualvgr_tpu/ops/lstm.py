@@ -88,21 +88,15 @@ def time_major_input_proj(x, params: LSTMParams, stream_dtype=None):
     consumes reduced-precision OPERANDS while accumulating in float32 —
     halves the dominant operand traffic of the model's hottest matmul and
     engages the MXU's native bf16 path; the bias add stays float32. Params
-    themselves remain float32 (mixed-precision policy: the astype's VJP
-    casts gradients back).
+    themselves remain float32, and gradients stay EXACT-F32 (the custom VJP
+    in ops/precision.py — plain autodiff would round the cotangents to the
+    stream dtype, the measured −3.3% training delta of round 3).
     """
     if stream_dtype is None:
         return jnp.einsum("btd,dh->tbh", x, params.w_ih) + params.b
-    xs = x.astype(stream_dtype)
-    ws = params.w_ih.astype(stream_dtype)
-    if jax.default_backend() == "tpu":
-        xp = jnp.einsum("btd,dh->tbh", xs, ws, preferred_element_type=jnp.float32)
-    else:
-        # the CPU backend has no BF16 x BF16 -> F32 dot; upcasting the
-        # already-rounded operands is numerically equivalent (products of
-        # two bf16 values are exact in fp32, accumulation is fp32 either way)
-        xp = jnp.einsum("btd,dh->tbh", xs.astype(jnp.float32), ws.astype(jnp.float32))
-    return xp + params.b
+    from dualvgr_tpu.ops.precision import streamed_einsum
+
+    return streamed_einsum("btd,dh->tbh", x, params.w_ih, stream_dtype) + params.b
 
 
 def _scan_direction(params: LSTMParams, xproj, mask, reverse: bool):
@@ -163,8 +157,12 @@ def lstm_unroll(
         # round-trip through the stream dtype: the fused Pallas path streams
         # the projected gates to the kernel in sd, so the XLA path applies
         # the SAME rounding — the two implementations stay bit-comparable
-        # and the bench's on-device equivalence gate holds at fp32 tightness
-        xproj = xproj.astype(sd).astype(x.dtype)
+        # and the bench's on-device equivalence gate holds at fp32 tightness.
+        # Identity gradient (stream_roundtrip): the forward pair folds to a
+        # no-op on TPU, and the backward must not round the cotangent.
+        from dualvgr_tpu.ops.precision import stream_roundtrip
+
+        xproj = stream_roundtrip(xproj, sd)
     if lengths is None:
         mask = jnp.ones((t, bsz, 1), x.dtype)
     else:

@@ -72,6 +72,95 @@ def test_streaming_applies_real_rounding_on_cpu(rng):
         assert diff > 1e-3  # real rounding: ~2^-8 relative on O(10) sums
 
 
+def test_streamed_matmul_grads_exact_f32(rng):
+    """Streamed-matmul cotangents are EXACT-F32: bf16 OPERANDS, f32
+    accumulation, f32 output, with NO terminal bf16 rounding of dx/dw.
+    Plain autodiff through the operand casts rounds every cotangent to
+    bf16 (the round-3 −3.3% bf16-training delta,
+    benchmarks/fastpath_accuracy.json); the custom VJP in
+    dualvgr_tpu/ops/precision.py removes exactly that rounding — on the
+    TPU MXU the result is bitwise what fp32 Precision.DEFAULT training
+    computes (benchmarks/precision_probe.py)."""
+    import jax
+
+    x = jnp.asarray(rng.randn(6, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(32, 16).astype(np.float32))
+    c = jnp.asarray(rng.randn(6, 16).astype(np.float32))  # cotangent seed
+
+    dx, dw = jax.grad(
+        lambda x, w: (streamed_matmul(x, w, "bfloat16") * c).sum(), argnums=(0, 1)
+    )(x, w)
+
+    # hand-computed exact-f32 cotangents: rounded OPERANDS, f32 math — the
+    # same einsum forms the VJP emits, so CPU equality is bitwise
+    f32 = lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(dx), np.asarray(jnp.einsum("ah,dh->ad", f32(c), f32(w)))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dw), np.asarray(jnp.einsum("ad,ah->dh", f32(x), f32(c)))
+    )
+    assert dx.dtype == dw.dtype == jnp.float32
+    # the cotangents are NOT bf16-rounded values (the old behavior was):
+    # re-rounding them must change them
+    assert float(jnp.abs(dx - f32(dx)).max()) > 0
+    assert float(jnp.abs(dw - f32(dw)).max()) > 0
+
+
+def test_streamed_einsum_grads_exact_f32(rng):
+    """Same exactness for the stacked-bank einsum spec the batched GAT
+    path uses (dualvgr_tpu/models/dualvgr.py::_gat4_batched)."""
+    import jax
+
+    from dualvgr_tpu.ops.precision import streamed_einsum
+
+    x = jnp.asarray(rng.randn(4, 2, 3, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 8, 6).astype(np.float32))
+    c = jnp.asarray(rng.randn(4, 2, 3, 6).astype(np.float32))
+
+    dx, dw = jax.grad(
+        lambda x, w: (streamed_einsum("kbnd,kdh->kbnh", x, w, "bfloat16") * c).sum(),
+        argnums=(0, 1),
+    )(x, w)
+    f32 = lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(dx), np.asarray(jnp.einsum("kbnh,kdh->kbnd", f32(c), f32(w)))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dw), np.asarray(jnp.einsum("kbnd,kbnh->kdh", f32(x), f32(c)))
+    )
+    assert float(jnp.abs(dx - f32(dx)).max()) > 0
+
+
+def test_transpose_specs_rejects_summed_only_index():
+    """A contraction whose operand has an index absent from output+other
+    operand cannot be transposed by spec swapping — must fail loudly."""
+    from dualvgr_tpu.ops.precision import _transpose_specs
+
+    assert _transpose_specs("btd,dh->tbh") == ("tbh,dh->btd", "btd,tbh->dh")
+    with pytest.raises(AssertionError):
+        _transpose_specs("ij,jk->k")  # i is summed-only in the lhs
+
+
+def test_stream_roundtrip_rounds_forward_identity_backward(rng):
+    """stream_roundtrip: genuine RNE rounding in the forward on CPU (the
+    Pallas-path bit-comparability contract) but an IDENTITY cotangent —
+    plain autodiff would round the cotangent to bf16."""
+    import jax
+
+    from dualvgr_tpu.ops.precision import stream_roundtrip
+
+    x = jnp.asarray(rng.randn(32, 48).astype(np.float32))
+    c = jnp.asarray(rng.randn(32, 48).astype(np.float32))
+    y = stream_roundtrip(x, "bfloat16")
+    assert y.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(y), np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32))
+    )
+    g = jax.grad(lambda x: (stream_roundtrip(x, "bfloat16") * c).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(c))  # bitwise
+
+
 def test_streamed_matmul_and_sdense(rng):
     import jax
 
@@ -200,3 +289,24 @@ def test_prng_impl_auto_resolution(monkeypatch, tmp_path):
     # the typed key the drivers build carries the resolved impl
     key = jax.random.key(7, impl=resolved_prng_impl(default_config()))
     assert str(jax.random.key_impl(key)) == resolved_prng_impl(default_config())
+
+
+@pytest.mark.slow
+def test_precision_ladder_probe_runs():
+    """The committed precision-ladder probe (benchmarks/precision_ladder.py)
+    executes end-to-end at a toy rung. On CPU the fp32 and bf16-streamed
+    programs genuinely differ (no DEFAULT-precision truncation, real RNE
+    rounding), so the rung must report NON-bitwise — the bitwise claim in
+    precision_ladder.json is a TPU-only MXU semantic, and this guard proves
+    the probe can tell the difference (a probe that reported bitwise on CPU
+    would be vacuous on chip too)."""
+    import jax
+
+    from benchmarks.precision_ladder import check
+
+    rung = check(64, 32, 16, nodes=4, frames=3, B=4, T=6)
+    assert rung["param_leaves"] > 0
+    if jax.default_backend() == "cpu":
+        assert not rung["fwd_bitwise"]
+        assert rung["fwd_max_abs"] > 0
+        assert rung["step_leaves_diverged"] > 0
