@@ -60,17 +60,14 @@ from benchmarks.fastpath_accuracy import (
 )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=12)
-    ap.add_argument("--out", default=None)
-    args = ap.parse_args()
-
+def run(out_dir: str, epochs: int = 12, fixture_overrides: dict | None = None,
+        write_artifact: bool = True) -> dict:
     from dualvgr_tpu import train_lib
     from dualvgr_tpu.data.synthetic import generate
 
     fix = dict(FIXTURE)
-    out_dir = args.out or tempfile.mkdtemp(prefix="bisect_")
+    if fixture_overrides:
+        fix.update(fixture_overrides)
     data_dir = os.path.join(out_dir, "data")
     generate(data_dir, **fix)
     train_split = _load_split(data_dir, "train")
@@ -166,7 +163,7 @@ def main():
     }
     gstep = 0
     done = False
-    for epoch in range(args.epochs):
+    for epoch in range(epochs):
         order = shuffle.permutation(n)
         for bi, (idx, valid) in enumerate(_batches(n, bs, order)):
             argd = (
@@ -217,17 +214,28 @@ def main():
             break
     if not done:
         print(
-            f"NO divergence in {gstep} steps over {args.epochs} epochs — "
+            f"NO divergence in {gstep} steps over {epochs} epochs — "
             "trajectories bitwise-identical at harness scale",
             flush=True,
         )
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bf16_divergence_bisect.json"
-    )
-    with open(path, "w") as f:
-        json.dump(result, f, indent=2)
-    print(f"wrote {path}", flush=True)
+    if write_artifact:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bf16_divergence_bisect.json",
+        )
+        with open(path, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"wrote {path}", flush=True)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    run(args.out or tempfile.mkdtemp(prefix="bisect_"), epochs=args.epochs)
 
 
 if __name__ == "__main__":
