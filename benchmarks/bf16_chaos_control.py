@@ -24,9 +24,13 @@ measures exactly that: for each seed it trains
                   (calibrates one-shot disturbances: early training is
                   locally contracting, so this typically does NOT move the
                   plateau)
-  fp32_stepnoise  fp32 with a sign-alternating +/-1e-9 nudge on that bias
+  fp32_stepnoise  fp32 with a bit-true one-ulp ``nextafter`` jitter (random
+                  per-element direction) on the five bisect bias leaves
                   AFTER EVERY step — the per-step-reinjected analogue of
-                  what the bf16 program's reduction order does
+                  what the bf16 program's reduction order does. (A fixed
+                  ``+=1e-9`` nudge is NOT a valid control: round-to-nearest
+                  absorbs it once |bias| > ~0.017 and the trajectory stays
+                  bitwise-identical.)
 and reports converged val accuracy for each, the per-seed deltas, and the
 spread. Verdict fields:
   fp32_stepnoise_spread  max |acc(fp32_stepnoise) - acc(fp32)| over seeds —
@@ -91,13 +95,63 @@ def _nudge_bias(params, eps):
     return p
 
 
+# exactly the leaves bf16_divergence_bisect.json finds diverged (~one f32
+# ulp) after the FIRST optimizer step — plain f32 sum-reduction bias grads
+# whose accumulation order XLA re-associates between the two programs.
+_BISECT_LEAVES = (
+    ("visual_appearance_input_unit", "encoder", "b_hh_bwd"),
+    ("visual_appearance_input_unit", "encoder", "b_ih_bwd"),
+    ("visual_appearance_input_unit", "encoder", "b_hh_fwd"),
+    ("visual_appearance_input_unit", "encoder", "b_ih_fwd"),
+    ("visual_motion_input_unit", "proj", "bias"),
+)
+
+
+def _update_leaf(params, path, fn):
+    """Copy-on-write update of a nested plain-dict leaf."""
+    p = dict(params)
+    if len(path) == 1:
+        p[path[0]] = fn(p[path[0]])
+    else:
+        p[path[0]] = _update_leaf(p[path[0]], path[1:], fn)
+    return p
+
+
+def _ulp_jitter(params, key):
+    """Bit-TRUE one-ulp jitter: move every element of the five bisect leaves
+    one representable f32 step up or down (random per-element direction).
+
+    This is the non-vacuous form of the per-step disturbance control. A
+    fixed ``+= 1e-9`` is silently ABSORBED by round-to-nearest once a bias
+    grows past ~0.017 (where the f32 ulp exceeds 2e-9) — a control injected
+    that way produces a bitwise-identical trajectory and an exactly-zero
+    spread, which says nothing. ``nextafter`` cannot be absorbed: the leaf
+    always changes by exactly one ulp AT ITS OWN MAGNITUDE, which is also
+    exactly the size of a worst-case f32 reduction-order difference.
+    """
+    for i, path in enumerate(_BISECT_LEAVES):
+        k = jax.random.fold_in(key, i)
+
+        def bump(b, k=k):
+            up = jax.random.bernoulli(k, 0.5, b.shape)
+            return jnp.where(
+                up,
+                jnp.nextafter(b, jnp.float32(jnp.inf)),
+                jnp.nextafter(b, jnp.float32(-jnp.inf)),
+            )
+
+        params = _update_leaf(params, path, bump)
+    return params
+
+
 def _train_seeded(fix, model, app_d, mot_d, split, epochs, glove, seed,
                   perturb_ulp: bool = False, step_noise: bool = False):
     """fastpath_accuracy._train with a parameterized seed and two pure-fp32
     chaos controls: ``perturb_ulp`` adds 1e-9 to the motion-proj bias ONCE
     at init (the magnitude bf16_divergence_bisect.json measured at step 0);
-    ``step_noise`` adds a sign-alternating +/-1e-9 to that bias AFTER EVERY
-    step — the per-step-reinjected analogue of the bf16 program's bias-grad
+    ``step_noise`` applies a bit-true one-ulp ``nextafter`` jitter (random
+    per-element direction) to the five bisect bias leaves AFTER EVERY step —
+    the per-step-reinjected analogue of the bf16 program's bias-grad
     reduction-order difference, with no precision change anywhere."""
     from dualvgr_tpu import train_lib
 
@@ -117,26 +171,38 @@ def _train_seeded(fix, model, app_d, mot_d, split, epochs, glove, seed,
     if perturb_ulp:
         state = state.replace(params=_nudge_bias(state.params, 1e-9))
 
-    def step(state, eps, app_all, mot_all, vid, qb, qlb, ab, vb):
+    def _step_impl(state, app_all, mot_all, vid, qb, qlb, ab, vb):
         batch = (app_all[vid], mot_all[vid], qb, qlb, ab, vb)
         state, m = train_lib.train_step(
             state, batch, model=model, optimizer=opt, alpha=ALPHA, beta=BETA
         )
-        # per-step ulp noise control: eps is 0.0 except in step_noise runs
-        return state.replace(params=_nudge_bias(state.params, eps)), m
+        return state, m
 
-    step = jax.jit(step, donate_argnums=(0,))
+    def _step_jitter_impl(state, key, app_all, mot_all, vid, qb, qlb, ab, vb):
+        state, m = _step_impl(state, app_all, mot_all, vid, qb, qlb, ab, vb)
+        return state.replace(params=_ulp_jitter(state.params, key)), m
+
+    # the fp32/bf16/fp32_ulp runs use the PRISTINE step program — only the
+    # stepnoise control pays the jitter (a separate compiled program).
+    step = jax.jit(_step_impl, donate_argnums=(0,))
+    step_jitter = jax.jit(_step_jitter_impl, donate_argnums=(0,))
     shuffle = np.random.RandomState(seed)
     gstep = 0
     for _epoch in range(epochs):
         order = shuffle.permutation(n)
         for idx, valid in _batches(n, bs, order):
-            eps = (1e-9 if gstep % 2 == 0 else -1e-9) if step_noise else 0.0
-            state, _m = step(
-                state, jnp.float32(eps), app_d, mot_d,
+            args = (
+                app_d, mot_d,
                 jnp.asarray(vids[idx]), jnp.asarray(q[idx]),
                 jnp.asarray(qlen[idx]), jnp.asarray(ans[idx]), jnp.asarray(valid),
             )
+            if step_noise:
+                state, _m = step_jitter(
+                    state, jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), gstep),
+                    *args,
+                )
+            else:
+                state, _m = step(state, *args)
             gstep += 1
     return state
 
@@ -210,16 +276,20 @@ def run(out_dir: str, n_seeds: int = 3, epochs: int = 12,
         "bf16_mean_delta": round(float(np.mean(bf16_deltas)), 6),
         "bf16_delta_range": [min(bf16_deltas), max(bf16_deltas)],
         "interpretation": (
-            "fp32_stepnoise injects the bf16 program's exact disturbance "
-            "(one ulp on a bias, every step) into PURE FP32 training — its "
-            "spread is the fixture's per-step-ulp chaos band. bf16 deltas "
-            "inside that band and straddling zero across seeds mean "
-            "end-to-end bf16 training has no measurable accuracy bias; "
-            "single-seed deltas are trajectory chaos (mechanism: "
-            "bf16_divergence_bisect.py — f32 bias-grad sum-reductions "
-            "re-associate between the two programs). fp32_ulp (one nudge at "
-            "init only) and fp32_seed_spread (different inits) calibrate "
-            "one-shot vs persistent disturbances."
+            "fp32_stepnoise injects the bf16 program's disturbance class "
+            "(one ulp on the five bisect bias leaves, bit-true via "
+            "nextafter, every step) into PURE FP32 training — its spread is "
+            "the fixture's per-step-ulp chaos band, measured with no "
+            "precision change anywhere. If the bf16 deltas sit inside that "
+            "band and straddle zero across seeds, end-to-end bf16 training "
+            "has no measurable accuracy bias and single-seed deltas are "
+            "trajectory chaos (mechanism: bf16_divergence_bisect.py — f32 "
+            "bias-grad sum-reductions re-associate between the two "
+            "programs). If they sit consistently outside it, the delta is "
+            "a real bias and compute_dtype must not default to bfloat16 "
+            "for training. fp32_ulp (one nudge at init only) and "
+            "fp32_seed_spread (different inits) calibrate one-shot vs "
+            "persistent disturbances."
         ),
     }
     print(json.dumps({k: out[k] for k in (

@@ -96,8 +96,17 @@ def default_config() -> Config:
         "exp_name": "defaultExp",
         # ---- TPU-native extensions (not present in reference YAMLs) ----
         "tpu": {
-            # matmul/activation compute dtype; params stay float32.
-            "compute_dtype": "float32",
+            # matmul OPERAND dtype; params/accumulation stay float32. "auto"
+            # (default) = "bfloat16" exactly when running on TPU: the eval
+            # path is BITWISE-identical to fp32 there (the MXU executes fp32
+            # DEFAULT matmuls as one bf16 pass — benchmarks/precision_probe.py)
+            # and training is step-bitwise up to f32 bias-grad reduction
+            # order, with converged accuracy inside the fixture's pure-fp32
+            # chaos band (benchmarks/bf16_chaos_control.json) — while operand
+            # HBM traffic halves (+9.5% eval / +4.7% train measured).
+            # "float32" elsewhere (CPU streaming applies real rounding).
+            # YAMLs may force "float32"/"bfloat16" (resolved_compute_dtype).
+            "compute_dtype": "auto",
             # name of the data-parallel mesh axis.
             "mesh_axis": "data",
             # load whole feature HDF5s into host RAM when total bytes fit.
@@ -218,6 +227,21 @@ def resolved_use_pallas(cfg: Config) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def resolved_compute_dtype(cfg: Config) -> str:
+    """Resolve cfg.tpu.compute_dtype: an explicit dtype name wins; "auto" =
+    "bfloat16" on TPU (bitwise-identical eval, chaos-band-neutral training,
+    halved matmul operand traffic — see the default_config comment and
+    benchmarks/precision_probe.py / bf16_chaos_control.json), "float32"
+    elsewhere (CPU has no DEFAULT-precision truncation, so streaming there
+    would apply genuine rounding the reference never does)."""
+    v = cfg.tpu.get("compute_dtype", "auto")
+    if v != "auto":
+        return v
+    import jax
+
+    return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+
+
 def resolved_prng_impl(cfg: Config) -> str:
     """Resolve cfg.tpu.prng_impl: an explicit implementation name wins;
     "auto" = the hardware 'rbg' generator on TPU, 'threefry2x32' elsewhere
@@ -254,7 +278,7 @@ def model_runtime_kwargs(cfg: Config) -> dict:
         )
     return {
         "use_pallas": pallas and tp <= 1,
-        "compute_dtype": cfg.tpu.compute_dtype,
+        "compute_dtype": resolved_compute_dtype(cfg),
     }
 
 

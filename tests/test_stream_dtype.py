@@ -244,12 +244,37 @@ def test_model_runtime_kwargs_routes_cfg(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resolved_use_pallas(cfg) is True
     kw = model_runtime_kwargs(cfg)
-    assert kw == {"use_pallas": True, "compute_dtype": "float32"}
+    # compute_dtype "auto" resolves to bfloat16 on TPU (bitwise-identical
+    # eval there — benchmarks/precision_probe.py; chaos-band-neutral
+    # training — benchmarks/bf16_chaos_control.json)
+    assert kw == {"use_pallas": True, "compute_dtype": "bfloat16"}
     # explicit bool wins over auto
     cfg.tpu.use_pallas = False
     assert resolved_use_pallas(cfg) is False
+    # explicit dtype pins win over auto, both directions
+    cfg.tpu.compute_dtype = "float32"
+    assert model_runtime_kwargs(cfg)["compute_dtype"] == "float32"
     cfg.tpu.compute_dtype = "bfloat16"
     assert model_runtime_kwargs(cfg)["compute_dtype"] == "bfloat16"
+
+
+def test_compute_dtype_auto_resolution(monkeypatch):
+    """tpu.compute_dtype "auto" = bfloat16 on TPU / float32 elsewhere; the
+    CPU test tier must keep exact fp32 numerics by default (streaming on CPU
+    applies genuine RNE rounding the reference never does)."""
+    import jax
+
+    from dualvgr_tpu.config import default_config, resolved_compute_dtype
+
+    cfg = default_config()
+    assert cfg.tpu.compute_dtype == "auto"
+    assert resolved_compute_dtype(cfg) == (
+        "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolved_compute_dtype(cfg) == "bfloat16"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resolved_compute_dtype(cfg) == "float32"
 
 
 def test_yaml_bool_overrides_auto(tmp_path):
