@@ -348,8 +348,10 @@ def main():
     # benchmarks/fastpath_accuracy.py leaves a bundle of TRAINED params +
     # a real val micro-batch; when present, the fast-path agreement is
     # re-measured there instead of only at random init (where 4k-way logits
-    # are near-tied and argmax agreement is a worst case). Skipped silently
-    # when the bundle is absent (fresh checkout) or the clock budget is hit.
+    # are near-tied and argmax agreement is a worst case). When the bundle is
+    # absent (fresh checkout) or the clock budget is hit, the skip is
+    # recorded LOUDLY in the JSON ("trained_gates": "skipped: ...") so a
+    # reader never mistakes a missing gate for a passing one.
     # NOTE: trained_bf16_max_abs_err == 0.0 is the EXPECTED on-chip value —
     # TPU fp32 matmuls default to a single bf16 MXU pass, so the eval-path
     # streaming is bitwise-identical (benchmarks/precision_probe.py).
@@ -358,9 +360,15 @@ def main():
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "fastpath_trained.msgpack",
     )
-    if os.path.exists(bundle_path) and time.time() - _T_START < float(
+    if not os.path.exists(bundle_path):
+        trained["trained_gates"] = (
+            "skipped: bundle absent — run benchmarks/fastpath_accuracy.py"
+        )
+    elif time.time() - _T_START >= float(
         os.environ.get("BENCH_TIME_BUDGET", "420")
     ):
+        trained["trained_gates"] = "skipped: BENCH_TIME_BUDGET exhausted"
+    else:
         import flax.serialization
 
         from dualvgr_tpu.models import DualVGR as _DualVGR
@@ -410,6 +418,7 @@ def main():
             trained["trained_pallas_max_abs_err"] = round(
                 float(np.max(np.abs(tp_ - t_anchor))), 5
             )
+        trained["trained_gates"] = "ok"
         _stage("trained-weights gates done")
 
     # ---- bf16 compute_dtype (interleaved with fp32) ----
