@@ -21,21 +21,45 @@ measured CPU throughput (benchmarks/reference_cpu_baseline.py imports
 CPU->A100 uplift; benchmarks/baseline.json also carries the analytic A100
 roofline bound for the same workload. Re-run that script to recalibrate.
 
-Before timing a ``use_pallas`` configuration, two ON-DEVICE equivalence
-gates run on the real chip (not interpret mode): eval logits Pallas == XLA
-(atol 1e-3) and one train-step loss + PER-MODULE gradient norms Pallas ==
-XLA (each top-level module's grad norm within BENCH_GRAD_TOL rel, default
-2e-3 — a per-module comparison catches a single-module backward bug that
-one global norm, dominated by the ~1e6-magnitude HSIC gradients, can hide).
-The bench fails loudly if either diverges.
+Stage order is PRIORITY order, with a budget check between stages, so a
+cold compile cache degrades the artifact from the tail, never the head
+(the r04 driver run skipped exactly the shipped-default claims because
+secondary work ran first — BENCH_r04.json postmortem):
 
-fp32 and bf16 timings are INTERLEAVED in one process (each repeat round
-times every configuration once, min over rounds per configuration) so the
-fp32-vs-bf16 comparison is robust to the tunnel's multi-percent drift —
-the two paths share the same process, compile cache and thermal state.
-bf16 here means DualVGR(compute_dtype="bfloat16"): a distinct model
-instance (no mutable dtype global), streaming bf16 operands into every wide
-matmul with fp32 accumulation.
+  1. state init       CPU-EAGER flax init + device_put + on-device opt.init
+                      (no TPU compile; the on-device init program alone
+                      cost 161 s cold through the tunnel)
+  2. drift canary     a fixed chained (8192,2048)x(2048,1536)x(1536,2048)
+                      matmul program timed every run — separates real
+                      regressions from tunnel/clock drift across rounds
+  3. HEADLINE timing  chained eval + train under pallas+bf16 (the shipped
+                      default), warmed and sampled FIRST
+  4. fp32 timing      fp32 eval + train warmed, then ALL configurations
+                      re-timed in interleaved rounds (each round measures
+                      every configuration once -> the fp32-vs-bf16 deltas
+                      are robust to multi-percent tunnel drift)
+  5. trained gates    bf16/Pallas argmax agreement + max-abs-err on TRAINED
+                      weights (benchmarks/fastpath_trained.msgpack;
+                      regenerated on demand when absent and budget allows)
+  6. random-init gates on-device Pallas == XLA: eval logits (atol 1e-3) and
+                      one train step's loss + PER-MODULE gradient norms
+                      (rel tol BENCH_GRAD_TOL, default 2e-3 — per-module
+                      catches a single-module backward bug the global norm,
+                      dominated by ~1e6-magnitude HSIC gradients, can hide)
+
+Skipped stages are recorded LOUDLY in the JSON (never silently absent); a
+FAILED gate is recorded in its field and the process exits rc=1 AFTER
+printing the JSON, so evidence is never lost to an assert.
+
+Timing methodology: each configuration is a single jitted program running n
+chained iterations in one ``lax.fori_loop`` (n is a TRACED argument — one
+compile serves every n; plain block_until_ready is unreliable under
+tunneled platforms, so completion is forced by fetching a scalar that
+depends on every iteration). The chain must feed EVERY independent input
+path of the model or XLA hoists the untouched path out of the loop as
+loop-invariant (measured: 3 ms/step flattered) — so it perturbs the visual
+input tensors and the embedding table each iteration. The 1-iteration run
+subtracts launch/fetch overhead; min over interleaved rounds.
 
 MFU is computed from the analytic matmul FLOPs of the workload
 (dualvgr_tpu/utils/flops.py, cross-checked against XLA cost analysis in
@@ -43,14 +67,14 @@ tests/test_flops.py) against the chip's peak (default 197 TFLOPS, v5e bf16;
 override with BENCH_PEAK_TFLOPS).
 
 Prints ONE JSON line; the primary triple stays {"metric", "value", "unit",
-"vs_baseline"}, extra keys carry MFU/train/gate evidence.
+"vs_baseline"}, extra keys carry MFU/train/gate/canary evidence.
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -60,6 +84,19 @@ import numpy as np
 REFERENCE_QA_PER_SEC = 592.0
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 _T_START = time.time()
+
+
+def _budget() -> float:
+    return float(os.environ.get("BENCH_TIME_BUDGET", "420"))
+
+
+def _remaining() -> float:
+    return _budget() - (time.time() - _T_START)
+
+
+def _over_budget(reserve: float = 0.0) -> bool:
+    """Single budget predicate for every stage (same boundary semantics)."""
+    return _remaining() <= reserve
 
 
 def _measure_once(fn, args, steps):
@@ -73,21 +110,16 @@ def _measure_once(fn, args, steps):
     return (tn - t1) / steps
 
 
-def _time_interleaved(named, repeats=5):
+def _time_interleaved(named, repeats=5, raw=None):
     """Interleaved min-of-N timing over {name: (fn, args, steps)}.
 
     Every repeat round measures EVERY configuration once before the next
     round starts, so slow drift (tunnel load, clocks) hits all
-    configurations equally — the fp32-vs-bf16 deltas stay honest.
-    fn(*args, n) must run n chained iterations inside ONE jit and return a
-    scalar; plain block_until_ready is unreliable under tunneled platforms,
-    so completion is forced by fetching the scalar to the host; the
-    1-iteration run subtracts launch/fetch overhead.
+    configurations equally — the fp32-vs-bf16 deltas stay honest. ``raw``
+    lets earlier priority samples (the headline-securing pass) fold into
+    the per-configuration minimum.
     """
-    for fn, args, steps in named.values():  # warm/compile pass
-        float(fn(*args, 1))
-        float(fn(*args, steps + 1))
-    raw = {k: [] for k in named}
+    raw = {k: list((raw or {}).get(k, [])) for k in named}
     for _ in range(repeats):
         for k, (fn, args, steps) in named.items():
             raw[k].append(_measure_once(fn, args, steps))
@@ -96,8 +128,6 @@ def _time_interleaved(named, repeats=5):
 
 
 def _stage(msg):
-    import sys
-
     print(f"# bench +{time.time() - _T_START:.0f}s {msg}", file=sys.stderr)
 
 
@@ -132,7 +162,83 @@ def _require_devices(timeout_s: float):
     return out[0]
 
 
+def _fast_create_state(model_xla, opt, root_key, example_host, device):
+    """TrainState at flagship shapes WITHOUT compiling the init program.
+
+    The on-device flax init compiled for 161 s cold through the tunnel
+    (BENCH_r04.json); initializer VALUES depend only on shapes + rng, so
+    running the same init EAGERLY on the host CPU backend (~22 s, zero XLA
+    compiles) and shipping the ~107 MB of params over (~1 s at the measured
+    93 MB/s) is semantically identical and 6x faster. The Adam moments are
+    zeros_like trees — created on device by a trivially-compiled opt.init.
+    Set BENCH_INIT=device to restore the old on-device path.
+    """
+    import jax
+
+    from dualvgr_tpu import train_lib
+
+    if os.environ.get("BENCH_INIT", "cpu") == "device":
+        return train_lib.create_train_state(model_xla, root_key, example_host, opt)
+
+    import jax.numpy as jnp
+
+    app, mot, q, qlen = example_host
+    init_rng, state_rng = jax.random.split(root_key)
+    cpu = jax.devices("cpu")[0]
+    with jax.disable_jit(), jax.default_device(cpu):
+        variables = model_xla.init(
+            {"params": init_rng, "dropout": init_rng},
+            np.asarray(app), np.asarray(mot), np.asarray(q), np.asarray(qlen),
+            train=False,
+        )
+    params = jax.device_put(variables["params"], device)
+    batch_stats = jax.device_put(variables.get("batch_stats", {}), device)
+    opt_state = jax.jit(opt.init)(params)
+    return train_lib.TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        rng=jax.device_put(state_rng, device),
+    )
+
+
+def _canary(steps: int = 20, repeats: int = 3):
+    """Fixed chained-matmul drift canary: (8192,2048)@(2048,1536) then
+    @(1536,2048), tanh between, n iterations in one program. Its ms/iter is
+    independent of this repo's model code, so cross-round artifact deltas
+    split into (canary moved -> tunnel/clock drift) vs (canary flat, model
+    moved -> real regression). ~103.1 analytic GFLOP per iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (8192, 2048), jnp.float32)
+    w1 = jax.random.normal(jax.random.PRNGKey(2), (2048, 1536), jnp.float32) * 0.02
+    w2 = jax.random.normal(jax.random.PRNGKey(3), (1536, 2048), jnp.float32) * 0.02
+
+    @jax.jit
+    def chained(x, w1, w2, n):
+        def body(i, c):
+            return jnp.tanh(jnp.tanh(c @ w1) @ w2)
+
+        return jax.lax.fori_loop(0, n, body, x).sum()
+
+    float(chained(x, w1, w2, 1))  # compile + warm
+    samples = [
+        _measure_once(chained, (x, w1, w2), steps) for _ in range(repeats)
+    ]
+    t = min(samples)
+    flops = 2 * 8192 * 2048 * 1536 * 2
+    return {
+        "canary_ms": round(t * 1e3, 3),
+        "canary_tflops": round(flops / t / 1e12, 2),
+        "canary_raw_ms": [round(s * 1e3, 3) for s in samples],
+    }
+
+
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -182,9 +288,9 @@ def main():
     )
     rng = np.random.RandomState(0)
     # big feature tensors are generated ON DEVICE: uploading the 0.5 GB
-    # appearance batch through a tunneled host->device path costs ~100 s
-    # per run and measures nothing (real serving streams from the loader's
-    # prefetch pipeline). Question/label arrays are tiny and stay host-side.
+    # appearance batch through a tunneled host->device path measures nothing
+    # (real serving streams from the loader's prefetch pipeline).
+    # Question/label arrays are tiny and stay host-side.
     kapp, kmot = jax.random.split(jax.random.PRNGKey(0))
     app = jax.random.normal(kapp, (batch, 16, 16, 2048), jnp.float32)
     mot = jax.random.normal(kmot, (batch, 16, 2048), jnp.float32)
@@ -199,9 +305,12 @@ def main():
     # rbg: the hardware PRNG the flagship configs ship with (tpu.prng_impl;
     # dropout mask generation off the threefry critical path)
     root_key = jax.random.key(666, impl=os.environ.get("BENCH_PRNG", "rbg"))
-    state = train_lib.create_train_state(
-        model, root_key, (app[:1], mot[:1], q[:1], qlen[:1]), opt
+    example_host = (
+        np.zeros((1, 16, 16, 2048), np.float32),
+        np.zeros((1, 16, 2048), np.float32),
+        q[:1], qlen[:1],
     )
+    state = _fast_create_state(model_xla, opt, root_key, example_host, jax.devices()[0])
     _stage("state init done")
     mesh = data_mesh()
     n_chips = mesh.size
@@ -209,11 +318,280 @@ def main():
     inputs = shard_batch((app, mot, q, qlen), mesh)
     labels = shard_batch((answers, valid), mesh)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    train_batch = inputs + labels
 
-    # ---- on-device Pallas == XLA gates (real chip, not interpret mode) ----
-    gates = {"eval": "skipped", "train_grads": "skipped"}
-    lx = None
+    canary = _canary()
+    _stage(f"canary done ({canary['canary_ms']} ms, {canary['canary_tflops']} tflops)")
+
+    # ---- chained timing programs ----
+    # Every independent input path must be perturbed per-iteration (visual
+    # INPUT tensors + the embedding table every question-path op depends on)
+    # or XLA hoists the untouched subgraph out of the loop — see module
+    # docstring. ``n`` is a traced argument: ONE compile per configuration
+    # serves both the 1-iteration overhead probe and the n-step chain.
+    def _perturbed_vars(variables, eps):
+        p = dict(variables["params"])
+        li = dict(p["linguistic_input_unit"])
+        li["encoder_embed"] = {
+            "embedding": li["encoder_embed"]["embedding"] + eps
+        }
+        p["linguistic_input_unit"] = li
+        return {**variables, "params": p}
+
+    def make_chained_eval(m_):
+        @jax.jit
+        def chained_eval(variables, inputs, n):
+            a0, m0, qq, ql = inputs
+
+            def body(i, carry):
+                acc, eps = carry
+                v = _perturbed_vars(variables, eps)
+                logits = m_.apply(v, a0 + eps, m0 + eps, qq, ql, train=False).logits
+                s = logits.sum()
+                return acc + s, s * 1e-30
+
+            acc, _ = jax.lax.fori_loop(
+                0, n, body, (jnp.zeros((), "float32"), jnp.zeros((), "float32"))
+            )
+            return acc
+
+        return chained_eval
+
+    def make_chained_train(m_):
+        @jax.jit
+        def chained_train(state, b, n):
+            def body(i, st):
+                st, _metrics = train_lib.train_step(
+                    st, b, model=m_, optimizer=opt, alpha=1.0, beta=1e-8
+                )
+                return st
+
+            st = jax.lax.fori_loop(0, n, body, state)
+            # the fetched scalar must depend on the UPDATED params or XLA
+            # DCEs the whole optimizer update
+            return jnp.sum(st.params["visual_motion_input_unit"]["proj"]["kernel"])
+
+        return chained_train
+
+    skips: dict = {}
+    failures: list = []
+
+    # ---- stage 3: HEADLINE (pallas + bf16, the shipped default) first ----
+    plans = {
+        "eval_bf16": (make_chained_eval(model16), (variables, inputs), steps),
+        "train_bf16": (make_chained_train(model16), (state, train_batch), train_steps),
+    }
+    raw: dict = {k: [] for k in plans}
+    for k, (fn, args, n) in plans.items():
+        float(fn(*args, 1))  # compile + warm
+        raw[k].append(_measure_once(fn, args, n))
+    _stage("bf16 headline warmed + sampled")
+
+    # ---- stage 4: fp32 secondary, then interleaved rounds over all ----
+    with_fp32 = not _over_budget()
+    if with_fp32:
+        plans["eval"] = (make_chained_eval(model), (variables, inputs), steps)
+        plans["train"] = (make_chained_train(model), (state, train_batch), train_steps)
+        for k in ("eval", "train"):
+            fn, args, n = plans[k]
+            float(fn(*args, 1))
+            raw[k] = [_measure_once(fn, args, n)]
+        _stage("fp32 warmed")
+    else:
+        skips["fp32_timing"] = (
+            f"skipped: BENCH_TIME_BUDGET exhausted after bf16 headline "
+            f"({_remaining():.0f}s left)"
+        )
+        _stage("over budget: fp32 timing skipped")
+    per, raw = _time_interleaved(plans, raw=raw)
+    _stage("interleaved timing done")
+
+    # ---- MFU from analytic matmul FLOPs ----
+    fkw = dict(
+        vision_dim=2048, module_dim=768, word_dim=300, num_answers=num_answers,
+        num_of_nodes=16, frames_per_clip=16, q_len=t,
+        unit_layers=1, graph_layers=1,
+    )
+    eval_flops_qa = dualvgr_forward_flops(**fkw)
+    train_flops_qa = dualvgr_train_flops(**fkw)
+    peak = PEAK_TFLOPS * 1e12
+
+    qps16 = batch / per["eval_bf16"] / n_chips
+    tqps16 = batch / per["train_bf16"] / n_chips
+    bf16 = {
+        "eval_bf16_qa_per_sec_per_chip": round(qps16, 2),
+        "eval_bf16_mfu": round(eval_flops_qa * qps16 / peak, 4),
+        "train_bf16_qa_per_sec_per_chip": round(tqps16, 2),
+        "train_bf16_mfu": round(train_flops_qa * tqps16 / peak, 4),
+        "train_bf16_step_ms": round(per["train_bf16"] * 1e3, 2),
+    }
+    fp32 = {}
+    if with_fp32:
+        eval_qps = batch / per["eval"] / n_chips
+        train_qps = batch / per["train"] / n_chips
+        fp32 = {
+            "eval_fp32_qa_per_sec_per_chip": round(eval_qps, 2),
+            "eval_mfu": round(eval_flops_qa * eval_qps / peak, 4),
+            "train_qa_per_sec_per_chip": round(train_qps, 2),
+            "train_step_ms": round(per["train"] * 1e3, 2),
+            "train_mfu": round(train_flops_qa * train_qps / peak, 4),
+        }
+
+    # ---- stage 5: trained-weights agreement gates ----
+    # benchmarks/fastpath_accuracy.py leaves a bundle of TRAINED params + a
+    # real val micro-batch; the fast-path agreement is re-measured there
+    # instead of only at random init (where 4k-way logits are near-tied and
+    # argmax agreement is a worst case). Absent bundle: regenerated on the
+    # spot when the budget allows (it is gitignored — a 121 MB blob has no
+    # business in git history), else skipped LOUDLY with the recipe.
+    # NOTE: trained_bf16_max_abs_err == 0.0 is the EXPECTED on-chip value —
+    # TPU fp32 matmuls default to a single bf16 MXU pass, so the eval-path
+    # streaming is bitwise-identical (benchmarks/precision_probe.py).
+    trained = _trained_gates(use_pallas, failures)
+    if "trained_gates" in trained and trained["trained_gates"].startswith("ok"):
+        _stage("trained-weights gates done")
+
+    # ---- stage 6: on-device Pallas == XLA gates at random init ----
+    gates = {"eval": "skipped: BENCH_PALLAS=0", "train_grads": "skipped: BENCH_PALLAS=0"}
     if use_pallas:
+        gates = _random_init_gates(
+            model, model_xla, state, variables, inputs, labels, failures
+        )
+
+    lines = {
+        "metric": "msrvtt_eval_qa_pairs_per_sec_per_chip",
+        "value": round(qps16, 2),
+        "unit": "qa/s/chip",
+        "vs_baseline": round(qps16 / baseline, 3),
+        "headline_path": ("pallas+" if use_pallas else "xla+") + "bf16(default)",
+        "flops_per_qa": eval_flops_qa,
+        "train_flops_per_qa": train_flops_qa,
+        "peak_tflops": PEAK_TFLOPS,
+        "baseline_qa_per_sec": baseline,
+        **canary,
+        **bf16,
+        **fp32,
+        **skips,
+        "pallas_gate": gates["eval"],
+        "train_grad_gate": gates["train_grads"],
+        # per-round raw per-step times (ms) for every configuration: lets a
+        # reader separate real regressions from tunnel drift (the headline
+        # is the min; the spread is the drift)
+        "raw_ms_per_round": {
+            k: [round(x * 1e3, 3) for x in v] for k, v in raw.items()
+        },
+        **trained,
+        "wall_s": round(time.time() - _T_START, 1),
+        "time_budget_s": _budget(),
+    }
+    print(json.dumps(lines))
+    if failures:
+        print(f"# bench FAILED gates: {failures}", file=sys.stderr)
+        sys.exit(1)
+
+
+def _trained_gates(use_pallas: bool, failures: list) -> dict:
+    """bf16/Pallas argmax agreement + max-abs-err on TRAINED weights.
+
+    Never raises: every failure mode lands in the returned dict (and
+    ``failures`` for a non-ok exit code) so the JSON always prints with an
+    explicit status — a reader can never mistake a missing gate for a
+    passing one."""
+    import jax
+    import jax.numpy as jnp
+
+    bundle_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "fastpath_trained.msgpack",
+    )
+    regen_reserve = float(os.environ.get("BENCH_REGEN_RESERVE", "240"))
+    if not os.path.exists(bundle_path):
+        if _over_budget(regen_reserve):
+            return {
+                "trained_gates": (
+                    "skipped: bundle absent and budget too low to regenerate "
+                    f"({_remaining():.0f}s < {regen_reserve:.0f}s reserve) — "
+                    "run benchmarks/fastpath_accuracy.py"
+                )
+            }
+        try:
+            from benchmarks.fastpath_accuracy import regenerate_bundle
+
+            regenerate_bundle(bundle_path)
+            _stage("trained bundle regenerated")
+        except Exception as e:  # noqa: BLE001 — record, don't lose the JSON
+            return {"trained_gates": f"error regenerating bundle: {e!r}"}
+    if _over_budget():
+        return {"trained_gates": "skipped: BENCH_TIME_BUDGET exhausted"}
+
+    try:
+        import flax.serialization
+
+        from dualvgr_tpu.models import DualVGR as _DualVGR
+
+        with open(bundle_path, "rb") as f:
+            bundle = flax.serialization.msgpack_restore(f.read())
+        mk = {
+            k: (int(v) if isinstance(v, (int, np.integer)) else v)
+            for k, v in bundle["model_kwargs"].items()
+        }
+        vb = bundle["val_batch"]
+        t_inputs = tuple(jnp.asarray(vb[k]) for k in ("app", "mot", "q", "qlen"))
+        t_vars = {
+            "params": bundle["params"],
+            "batch_stats": bundle.get("batch_stats") or {},
+        }
+
+        # ONE jit for all configurations: a single remote-compile round trip
+        # instead of three (per-program overhead dominates at these dims)
+        models = {
+            "anchor": _DualVGR(use_pallas=False, **mk),
+            "bf16": _DualVGR(use_pallas=False, compute_dtype="bfloat16", **mk),
+        }
+        if use_pallas:
+            models["pallas"] = _DualVGR(use_pallas=True, **mk)
+
+        @jax.jit
+        def all_logits(v, i):
+            return {
+                name: m_.apply(v, i[0], i[1], i[2], i[3], train=False).logits
+                for name, m_ in models.items()
+            }
+
+        outs = {k: np.asarray(v) for k, v in all_logits(t_vars, t_inputs).items()}
+        anchor = outs["anchor"]
+        trained = {"trained_n": int(anchor.shape[0])}
+        for name in ("bf16", "pallas"):
+            if name not in outs:
+                continue
+            o = outs[name]
+            trained[f"trained_{name}_argmax_agreement"] = round(
+                float((o.argmax(-1) == anchor.argmax(-1)).mean()), 4
+            )
+            trained[f"trained_{name}_max_abs_err"] = round(
+                float(np.max(np.abs(o - anchor))), 5
+            )
+        trained["trained_gates"] = "ok"
+        return trained
+    except Exception as e:  # noqa: BLE001 — record, don't lose the JSON
+        failures.append(f"trained_gates: {e!r}")
+        return {"trained_gates": f"error: {e!r}"}
+
+
+def _random_init_gates(model, model_xla, state, variables, inputs, labels, failures):
+    """On-device Pallas == XLA equivalence at random init (real chip, not
+    interpret mode): eval logits (atol 1e-3), then one train step's loss +
+    per-module gradient norms (rel tol BENCH_GRAD_TOL). Budget-checked per
+    gate; a FAILED gate is recorded (and exits rc=1 after the JSON prints)
+    instead of crashing the artifact away."""
+    import jax
+
+    gates = {"eval": "skipped", "train_grads": "skipped"}
+    if _over_budget():
+        gates["eval"] = gates["train_grads"] = "skipped: BENCH_TIME_BUDGET exhausted"
+        return gates
+
+    try:
         @jax.jit
         def both_logits(variables, inputs):
             a, m, qq, ql = inputs
@@ -224,11 +602,22 @@ def main():
         lp, lx = both_logits(variables, inputs)
         lp, lx = np.asarray(lp), np.asarray(lx)
         err = float(np.max(np.abs(lp - lx)))
-        assert np.allclose(lp, lx, atol=1e-3), (
-            f"on-device Pallas eval logits diverge from XLA: max abs err {err}"
-        )
-        gates["eval"] = f"ok max_abs_err={err:.2e}"
+        if np.allclose(lp, lx, atol=1e-3):
+            gates["eval"] = f"ok max_abs_err={err:.2e}"
+        else:
+            gates["eval"] = f"FAILED max_abs_err={err:.2e} (atol 1e-3)"
+            failures.append(gates["eval"])
+        _stage("eval gate done")
+    except Exception as e:  # noqa: BLE001
+        gates["eval"] = f"error: {e!r}"
+        failures.append(gates["eval"])
+        return gates
 
+    if _over_budget():
+        gates["train_grads"] = "skipped: BENCH_TIME_BUDGET exhausted"
+        return gates
+
+    try:
         import optax
 
         def loss_and_module_gnorms(m_):
@@ -267,273 +656,25 @@ def main():
             for k in gn_x
         }
         bad = {k: v for k, v in rel_by_module.items() if v >= grad_tol}
-        assert rel_l < 1e-3 and not bad, (
-            f"on-device Pallas train step diverges from XLA: "
-            f"loss {loss_p} vs {loss_x} (rel {rel_l:.2e}), "
-            f"per-module grad-norm rel errs over tol {grad_tol}: "
-            f"{ {k: f'{v:.2e}' for k, v in (bad or rel_by_module).items()} }"
-        )
-        worst_mod = max(rel_by_module, key=rel_by_module.get)
-        gates["train_grads"] = (
-            f"ok rel_loss={rel_l:.2e} per-module gnorm rel<= "
-            f"{rel_by_module[worst_mod]:.2e} ({worst_mod}); "
-            + " ".join(f"{k}={v:.1e}" for k, v in sorted(rel_by_module.items()))
-        )
-        _stage("gates done")
-
-    # ---- chained timing programs ----
-    # The chain must feed EVERY independent input path of the model, or XLA
-    # hoists the untouched path out of the fori_loop as loop-invariant and
-    # the measurement silently drops it. Perturbing only the appearance
-    # tensor (the r01 methodology) let the whole question encoder be
-    # computed once (~0.9 ms/step flattered); perturbing weight leaves
-    # instead lets input-only subgraphs (tanh of the features, the
-    # unperturbed direction's projection) be hoisted — measured 3 ms/step
-    # flattered. So the chain perturbs the visual INPUT tensors themselves
-    # (one fused elementwise pass over them per iteration — the same work a
-    # real serving step does to materialize fresh inputs, and XLA fuses the
-    # add into the consumer) plus the embedding table, which every
-    # question-path op depends on (the tokens are ints and stay fixed).
-    def _perturbed_vars(variables, eps):
-        p = dict(variables["params"])
-        li = dict(p["linguistic_input_unit"])
-        li["encoder_embed"] = {
-            "embedding": li["encoder_embed"]["embedding"] + eps
-        }
-        p["linguistic_input_unit"] = li
-        return {**variables, "params": p}
-
-    def make_chained_eval(m_):
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def chained_eval(variables, inputs, n):
-            a0, m0, qq, ql = inputs
-
-            def body(i, carry):
-                acc, eps = carry
-                v = _perturbed_vars(variables, eps)
-                logits = m_.apply(v, a0 + eps, m0 + eps, qq, ql, train=False).logits
-                s = logits.sum()
-                return acc + s, s * 1e-30
-
-            acc, _ = jax.lax.fori_loop(
-                0, n, body, (jnp.zeros((), "float32"), jnp.zeros((), "float32"))
+        if rel_l < 1e-3 and not bad:
+            worst_mod = max(rel_by_module, key=rel_by_module.get)
+            gates["train_grads"] = (
+                f"ok rel_loss={rel_l:.2e} per-module gnorm rel<= "
+                f"{rel_by_module[worst_mod]:.2e} ({worst_mod}); "
+                + " ".join(f"{k}={v:.1e}" for k, v in sorted(rel_by_module.items()))
             )
-            return acc
-
-        return chained_eval
-
-    def make_chained_train(m_):
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def chained_train(state, b, n):
-            def body(i, st):
-                st, _metrics = train_lib.train_step(
-                    st, b, model=m_, optimizer=opt, alpha=1.0, beta=1e-8
-                )
-                return st
-
-            st = jax.lax.fori_loop(0, n, body, state)
-            # the fetched scalar must depend on the UPDATED params or XLA
-            # DCEs the whole optimizer update
-            return jnp.sum(st.params["visual_motion_input_unit"]["proj"]["kernel"])
-
-        return chained_train
-
-    train_batch = inputs + labels
-    plans = {
-        "eval": (make_chained_eval(model), (variables, inputs), steps),
-        "train": (make_chained_train(model), (state, train_batch), train_steps),
-    }
-
-    # ---- trained-weights agreement gates (round-3 verdict item 1) ----
-    # benchmarks/fastpath_accuracy.py leaves a bundle of TRAINED params +
-    # a real val micro-batch; when present, the fast-path agreement is
-    # re-measured there instead of only at random init (where 4k-way logits
-    # are near-tied and argmax agreement is a worst case). When the bundle is
-    # absent (fresh checkout) or the clock budget is hit, the skip is
-    # recorded LOUDLY in the JSON ("trained_gates": "skipped: ...") so a
-    # reader never mistakes a missing gate for a passing one.
-    # NOTE: trained_bf16_max_abs_err == 0.0 is the EXPECTED on-chip value —
-    # TPU fp32 matmuls default to a single bf16 MXU pass, so the eval-path
-    # streaming is bitwise-identical (benchmarks/precision_probe.py).
-    trained = {}
-    bundle_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "benchmarks", "fastpath_trained.msgpack",
-    )
-    if not os.path.exists(bundle_path):
-        trained["trained_gates"] = (
-            "skipped: bundle absent — run benchmarks/fastpath_accuracy.py"
-        )
-    elif time.time() - _T_START >= float(
-        os.environ.get("BENCH_TIME_BUDGET", "420")
-    ):
-        trained["trained_gates"] = "skipped: BENCH_TIME_BUDGET exhausted"
-    else:
-        import flax.serialization
-
-        from dualvgr_tpu.models import DualVGR as _DualVGR
-
-        with open(bundle_path, "rb") as f:
-            bundle = flax.serialization.msgpack_restore(f.read())
-        mk = {
-            k: (int(v) if isinstance(v, (int, np.integer)) else v)
-            for k, v in bundle["model_kwargs"].items()
-        }
-        vb = bundle["val_batch"]
-        t_inputs = tuple(
-            jnp.asarray(vb[k]) for k in ("app", "mot", "q", "qlen")
-        )
-        t_vars = {
-            "params": bundle["params"],
-            "batch_stats": bundle.get("batch_stats") or {},
-        }
-
-        def _t_logits(m_):
-            return np.asarray(
-                jax.jit(
-                    lambda v, i: m_.apply(
-                        v, i[0], i[1], i[2], i[3], train=False
-                    ).logits
-                )(t_vars, t_inputs)
+        else:
+            gates["train_grads"] = (
+                f"FAILED loss {loss_p} vs {loss_x} (rel {rel_l:.2e}), "
+                f"per-module gnorm rel errs over tol {grad_tol}: "
+                f"{ {k: f'{v:.2e}' for k, v in (bad or rel_by_module).items()} }"
             )
-
-        t_anchor = _t_logits(_DualVGR(use_pallas=False, **mk))
-        t16 = _t_logits(
-            _DualVGR(use_pallas=False, compute_dtype="bfloat16", **mk)
-        )
-        trained = {
-            "trained_n": int(t_anchor.shape[0]),
-            "trained_bf16_argmax_agreement": round(
-                float((t16.argmax(-1) == t_anchor.argmax(-1)).mean()), 4
-            ),
-            "trained_bf16_max_abs_err": round(
-                float(np.max(np.abs(t16 - t_anchor))), 5
-            ),
-        }
-        if use_pallas:
-            tp_ = _t_logits(_DualVGR(use_pallas=True, **mk))
-            trained["trained_pallas_argmax_agreement"] = round(
-                float((tp_.argmax(-1) == t_anchor.argmax(-1)).mean()), 4
-            )
-            trained["trained_pallas_max_abs_err"] = round(
-                float(np.max(np.abs(tp_ - t_anchor))), 5
-            )
-        trained["trained_gates"] = "ok"
-        _stage("trained-weights gates done")
-
-    # ---- bf16 compute_dtype (interleaved with fp32) ----
-    # Measures the mixed-precision path (bf16 operands in every wide matmul,
-    # fp32 accumulate/params/recurrence) and its numeric distance from fp32.
-    # Since round 4 this IS the headline: tpu.compute_dtype defaults to
-    # "auto" -> bfloat16 on TPU, and the bf16 eval path is BITWISE-identical
-    # to fp32 on trained weights (benchmarks/precision_probe.py,
-    # benchmarks/fastpath_accuracy.json: 0 argmax flips) — the fp32 numbers
-    # stay as secondary keys with unchanged semantics for cross-round
-    # comparison.
-    over_budget = time.time() - _T_START > float(
-        os.environ.get("BENCH_TIME_BUDGET", "420")
-    )
-    if over_budget:
-        # cold compile cache ate the wall clock: guarantee the headline
-        # metric still prints by skipping the secondary bf16 measurements
-        # (the persistent cache makes the next run fast and complete)
-        _stage("over time budget, skipping bf16 secondary metrics")
-    bf16 = {}
-    with_bf16 = not over_budget and os.environ.get("BENCH_BF16", "1") == "1"
-    if with_bf16:
-        lo16 = np.asarray(
-            jax.jit(
-                lambda v, i: model16.apply(
-                    v, i[0], i[1], i[2], i[3], train=False
-                ).logits
-            )(variables, inputs)
-        )
-        ref_logits = lx if lx is not None else np.asarray(
-            jax.jit(
-                lambda v, i: model_xla.apply(
-                    v, i[0], i[1], i[2], i[3], train=False
-                ).logits
-            )(variables, inputs)
-        )
-        bf16_err = float(np.max(np.abs(lo16 - ref_logits)))
-        bf16_agree = float((lo16.argmax(-1) == ref_logits.argmax(-1)).mean())
-        plans["eval_bf16"] = (
-            make_chained_eval(model16), (variables, inputs), steps
-        )
-        plans["train_bf16"] = (
-            make_chained_train(model16), (state, train_batch), train_steps
-        )
-
-    per, raw = _time_interleaved(plans)
-    _stage("interleaved timing done")
-
-    eval_per_step = per["eval"]
-    train_per_step = per["train"]
-    eval_qa_per_sec_chip = batch / eval_per_step / n_chips
-    train_qa_per_sec_chip = batch / train_per_step / n_chips
-
-    # ---- MFU from analytic matmul FLOPs ----
-    fkw = dict(
-        vision_dim=2048, module_dim=768, word_dim=300, num_answers=num_answers,
-        num_of_nodes=16, frames_per_clip=16, q_len=t,
-        unit_layers=1, graph_layers=1,
-    )
-    eval_flops_qa = dualvgr_forward_flops(**fkw)
-    train_flops_qa = dualvgr_train_flops(**fkw)
-    peak = PEAK_TFLOPS * 1e12
-    eval_mfu = eval_flops_qa * eval_qa_per_sec_chip / peak
-    train_mfu = train_flops_qa * train_qa_per_sec_chip / peak
-    if with_bf16:
-        qps16 = batch / per["eval_bf16"] / n_chips
-        tqps16 = batch / per["train_bf16"] / n_chips
-        bf16 = {
-            "eval_bf16_qa_per_sec_per_chip": round(qps16, 2),
-            "eval_bf16_mfu": round(eval_flops_qa * qps16 / peak, 4),
-            "train_bf16_qa_per_sec_per_chip": round(tqps16, 2),
-            "train_bf16_mfu": round(train_flops_qa * tqps16 / peak, 4),
-            "bf16_vs_fp32_max_abs_err": round(bf16_err, 5),
-            "bf16_argmax_agreement": round(bf16_agree, 4),
-        }
-
-    # headline = the SHIPPED DEFAULT serving path (use_pallas auto +
-    # compute_dtype auto -> bf16 on TPU; accuracy-identical to fp32 on
-    # trained weights). Falls back to the fp32 measurement when the bf16
-    # secondary was skipped (over budget / BENCH_BF16=0).
-    headline_qps = qps16 if with_bf16 else eval_qa_per_sec_chip
-    headline_path = (
-        ("pallas+" if use_pallas else "xla+")
-        + ("bf16(default)" if with_bf16 else "fp32(bf16 skipped)")
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "msrvtt_eval_qa_pairs_per_sec_per_chip",
-                "value": round(headline_qps, 2),
-                "unit": "qa/s/chip",
-                "vs_baseline": round(headline_qps / baseline, 3),
-                "headline_path": headline_path,
-                "eval_fp32_qa_per_sec_per_chip": round(eval_qa_per_sec_chip, 2),
-                "flops_per_qa": eval_flops_qa,
-                "eval_mfu": round(eval_mfu, 4),
-                "train_qa_per_sec_per_chip": round(train_qa_per_sec_chip, 2),
-                "train_step_ms": round(train_per_step * 1e3, 2),
-                "train_flops_per_qa": train_flops_qa,
-                "train_mfu": round(train_mfu, 4),
-                "peak_tflops": PEAK_TFLOPS,
-                "baseline_qa_per_sec": baseline,
-                "pallas_gate": gates["eval"],
-                "train_grad_gate": gates["train_grads"],
-                # per-round raw per-step times (ms) for every configuration:
-                # lets a reader separate real regressions from tunnel drift
-                # (the headline is the min; the spread is the drift)
-                "raw_ms_per_round": {
-                    k: [round(t * 1e3, 3) for t in v] for k, v in raw.items()
-                },
-                **trained,
-                **bf16,
-            }
-        )
-    )
+            failures.append(gates["train_grads"])
+        _stage("train-grad gate done")
+    except Exception as e:  # noqa: BLE001
+        gates["train_grads"] = f"error: {e!r}"
+        failures.append(gates["train_grads"])
+    return gates
 
 
 if __name__ == "__main__":

@@ -74,12 +74,15 @@ import jax.numpy as jnp
 from benchmarks.fastpath_accuracy import (
     ALPHA,
     BETA,
+    EVAL_BS,
     FIXTURE,
     LR,
     _batches,
+    _binom_ci,
     _build_model,
     _load_features,
     _load_split,
+    _paired_delta_ci,
     _predict,
 )
 
@@ -231,17 +234,23 @@ def run(out_dir: str, n_seeds: int = 3, epochs: int = 12,
     m32 = _build_model(fix, vs, na, use_pallas=False)
     m16 = _build_model(fix, vs, na, use_pallas=False, compute_dtype="bfloat16")
 
+    eval_bs = min(EVAL_BS, max(fix["batch_size"], n_eval))
+
     def acc_of(model, state):
-        correct = 0
+        """(accuracy, per-question correctness vector) over val+test."""
+        correct_vec = []
         for mode, split in evals.items():
-            preds = _predict(fix, model, state, app_d, mot_d, split)
-            correct += int((preds == eval_q[mode]).sum())
-        return correct / n_eval
+            preds = _predict(fix, model, state, app_d, mot_d, split,
+                             batch_size=eval_bs)
+            correct_vec.append(preds == eval_q[mode])
+        correct_vec = np.concatenate(correct_vec)
+        return correct_vec.mean(), correct_vec
 
     seeds = [666 + 1000 * i for i in range(n_seeds)]
     runs = []
     for seed in seeds:
         row = {"seed": seed}
+        correct = {}
         for name, model, kwargs in (
             ("fp32", m32, {}),
             ("bf16", m16, {}),
@@ -252,11 +261,18 @@ def run(out_dir: str, n_seeds: int = 3, epochs: int = 12,
                 fix, model, app_d, mot_d, train_split, epochs,
                 train_split["glove"], seed, **kwargs,
             )
-            row[name] = round(acc_of(model, st), 6)
+            acc, correct[name] = acc_of(model, st)
+            row[name] = round(float(acc), 6)
             print(f"seed {seed} {name}: acc={row[name]:.4f}", flush=True)
-        row["bf16_delta"] = round(row["bf16"] - row["fp32"], 6)
-        row["ulp_delta"] = round(row["fp32_ulp"] - row["fp32"], 6)
-        row["stepnoise_delta"] = round(row["fp32_stepnoise"] - row["fp32"], 6)
+        for name, key in (("bf16", "bf16_delta"), ("fp32_ulp", "ulp_delta"),
+                          ("fp32_stepnoise", "stepnoise_delta")):
+            row[key] = round(row[name] - row["fp32"], 6)
+            # paired (same eval questions) exact CI: separates eval-sampling
+            # noise from true trajectory divergence — at n_eval >= 20k a
+            # delta is measurement-resolved to well under the 0.2% gate
+            row[key + "_ci95"] = _paired_delta_ci(
+                correct[name], correct["fp32"]
+            )["delta_ci95"]
         runs.append(row)
 
     bf16_deltas = [r["bf16_delta"] for r in runs]
@@ -274,6 +290,12 @@ def run(out_dir: str, n_seeds: int = 3, epochs: int = 12,
             max(r["fp32"] for r in runs) - min(r["fp32"] for r in runs), 6
         ),
         "bf16_mean_delta": round(float(np.mean(bf16_deltas)), 6),
+        # SEM over seeds: the resolution at which the MEAN bf16 bias is
+        # pinned (per-seed deltas also carry paired eval CIs in `runs`)
+        "bf16_mean_delta_sem": round(
+            float(np.std(bf16_deltas, ddof=1) / np.sqrt(len(bf16_deltas)))
+            if len(bf16_deltas) > 1 else 0.0, 6
+        ),
         "bf16_delta_range": [min(bf16_deltas), max(bf16_deltas)],
         "interpretation": (
             "fp32_stepnoise injects the bf16 program's disturbance class "

@@ -26,6 +26,17 @@ additionally trains end-to-end under bf16 compute:
     a second model trains from the SAME init with compute_dtype=bfloat16;
     its converged val accuracy is compared to the fp32-trained anchor.
 
+Statistical power (round-4 verdict item 2): the eval split is sized so the
+0.2% gate is RESOLVABLE, not just bounded — ``eval_questions_per_video``
+blows the val+test splits up to n_eval ~ 20k (0.005%/question) while the
+train split (which sets the training cost) stays at 420 questions. Every
+accuracy carries an exact Clopper-Pearson 95% CI; every delta carries a
+PAIRED 95% CI from the discordant-pair binomial (McNemar construction: for
+m = n01+n10 discordant answers, n01 ~ Binom(m, p) and
+delta = (2p-1)·m/n — for the eval fast paths, which share weights with the
+anchor, zero flips therefore means delta = 0 with CI [0, 0] EXACTLY, and
+the 0.2% gate is resolved with certainty rather than bounded at n=180).
+
 Training runs entirely on-device: the full fixture's features are uploaded
 once and batches are gathered by index inside jit, so the harness is fast
 even through a tunneled TPU. The fixture carries 30% label noise (see
@@ -34,14 +45,18 @@ well below 100% and per-path deltas are measured where they can actually
 show up.
 
 Artifacts
-  benchmarks/fastpath_accuracy.json   committed evidence (per-path accuracy,
-                                      delta vs anchor, argmax flips)
+  benchmarks/fastpath_accuracy.json   committed evidence (per-path accuracy
+                                      + CI, paired delta CI, argmax flips)
   benchmarks/fastpath_trained.msgpack gitignored: trained params +
                                       batch_stats + model kwargs + a val
-                                      micro-batch + anchor predictions, so
-                                      bench.py can run its agreement gates
-                                      at trained weights instead of random
-                                      init
+                                      micro-batch, so bench.py can run its
+                                      agreement gates at trained weights
+                                      instead of random init. Regenerate
+                                      any time with
+                                      ``python -c "from benchmarks.fastpath_accuracy
+                                      import regenerate_bundle; regenerate_bundle()"``
+                                      (bench.py does this itself when the
+                                      bundle is absent and budget allows).
 
 Usage: python benchmarks/fastpath_accuracy.py [--epochs 12] [--out DIR]
 """
@@ -67,10 +82,13 @@ sys.path.insert(0, REPO)
 # to plateau in seconds of device time. vocab/answers are reduced (the
 # flagship 8k/4k head is untrainable on a 600-question fixture); num_clips 8
 # matches the shipped msvd config (configs/msvd_qa_DualVGR.yml).
+# eval_questions_per_video=680 -> n_eval = 30 eval videos x 680 = 20,400
+# (0.005%/question): large enough that the paired CIs resolve the 0.2% gate.
 FIXTURE = dict(
     dataset="svqa",
     num_videos=100,
     questions_per_video=6,
+    eval_questions_per_video=680,
     num_clips=8,
     vision_dim=2048,
     frames=16,
@@ -87,6 +105,42 @@ MODEL_KW = dict(graph_layers=1, unit_layers=1)  # flagship bench config
 LR = 1e-3
 ALPHA, BETA = 1.0, 1e-8
 SEED = 666
+EVAL_BS = 256  # eval-only batch (training keeps fix["batch_size"])
+
+
+def _binom_ci(k: int, n: int, conf: float = 0.95):
+    """Exact (Clopper-Pearson) binomial CI on k successes out of n."""
+    from scipy.stats import beta
+
+    a = (1.0 - conf) / 2.0
+    lo = 0.0 if k == 0 else float(beta.ppf(a, k, n - k + 1))
+    hi = 1.0 if k == n else float(beta.ppf(1.0 - a, k + 1, n - k))
+    return lo, hi
+
+
+def _paired_delta_ci(path_correct: np.ndarray, anchor_correct: np.ndarray,
+                     conf: float = 0.95):
+    """Paired 95% CI on acc(path) - acc(anchor) over the SAME questions.
+
+    McNemar construction: only discordant answers move the delta. With
+    n01 = #(path right, anchor wrong), n10 = #(anchor right, path wrong),
+    m = n01 + n10, delta = (n01 - n10)/n, and n01 ~ Binom(m, p) with exact
+    CI (lo, hi) on p, the delta CI is ((2·lo - 1)·m/n, (2·hi - 1)·m/n).
+    m = 0 (identical correctness on every question) gives CI [0, 0]."""
+    n = len(path_correct)
+    n01 = int((path_correct & ~anchor_correct).sum())
+    n10 = int((~path_correct & anchor_correct).sum())
+    m = n01 + n10
+    if m == 0:
+        return {"delta_ci95": [0.0, 0.0], "n_discordant": 0}
+    lo, hi = _binom_ci(n01, m, conf)
+    return {
+        "delta_ci95": [
+            round((2 * lo - 1) * m / n, 6),
+            round((2 * hi - 1) * m / n, 6),
+        ],
+        "n_discordant": m,
+    }
 
 
 def _load_split(data_dir: str, mode: str):
@@ -134,7 +188,7 @@ def _build_model(fix: dict, vocab_size: int, num_answers: int, **overrides):
 
 
 def _train(fix, model, app_d, mot_d, split, epochs: int, glove):
-    """Train on-device (features pre-uploaded); return (state, val_acc_fn input)."""
+    """Train on-device (features pre-uploaded); return the trained state."""
     import jax
     import jax.numpy as jnp
 
@@ -173,7 +227,8 @@ def _train(fix, model, app_d, mot_d, split, epochs: int, glove):
     return state
 
 
-def _predict(fix, model, state, app_d, mot_d, split, cast16: bool = False):
+def _predict(fix, model, state, app_d, mot_d, split, cast16: bool = False,
+             batch_size: int | None = None):
     """Per-question argmax predictions under one serving configuration."""
     import jax
     import jax.numpy as jnp
@@ -182,7 +237,7 @@ def _predict(fix, model, state, app_d, mot_d, split, cast16: bool = False):
     qlen = np.asarray(split["questions_len"], np.int32)
     vids = np.asarray(split["video_ids"], np.int32)
     n = len(qlen)
-    bs = fix["batch_size"]
+    bs = batch_size or fix["batch_size"]
 
     def pred(params, batch_stats, app_all, mot_all, vid, qb, qlb):
         a, m = app_all[vid], mot_all[vid]
@@ -209,39 +264,106 @@ def _predict(fix, model, state, app_d, mot_d, split, cast16: bool = False):
     return np.concatenate(preds)
 
 
-def run(out_dir: str, epochs: int = 12, fixture_overrides: dict | None = None,
-        save_trained: bool = True, bundle_path: str | None = None) -> dict:
-    import jax
+def _setup(out_dir: str, fix: dict) -> dict:
+    """Generate the fixture, load splits + features, upload features once."""
     import jax.numpy as jnp
 
     from dualvgr_tpu.data.synthetic import generate
 
-    fix = dict(FIXTURE)
-    if fixture_overrides:
-        fix.update(fixture_overrides)
     data_dir = os.path.join(out_dir, "data")
     gen = generate(data_dir, **fix)
-    on_tpu = jax.default_backend() == "tpu"
-
     train_split = _load_split(data_dir, "train")
     evals = {m: _load_split(data_dir, m) for m in ("val", "test")}
     app, mot = _load_features(data_dir)
-    app_d = jnp.asarray(app)
-    mot_d = jnp.asarray(mot)
-
     with open(os.path.join(data_dir, "svqa_vocab.json")) as f:
         vocab = json.load(f)
-    vs, na = len(vocab["question_token_to_idx"]), len(vocab["answer_token_to_idx"])
+    eval_q = {m: np.asarray(s["answers"], np.int64) for m, s in evals.items()}
+    return dict(
+        gen=gen,
+        data_dir=data_dir,
+        train_split=train_split,
+        evals=evals,
+        app=app,
+        mot=mot,
+        app_d=jnp.asarray(app),
+        mot_d=jnp.asarray(mot),
+        vs=len(vocab["question_token_to_idx"]),
+        na=len(vocab["answer_token_to_idx"]),
+        eval_q=eval_q,
+        n_eval=sum(len(v) for v in eval_q.values()),
+    )
+
+
+def _save_bundle(ctx: dict, fix: dict, state, path: str) -> str:
+    """Trained-weights bundle for bench.py's agreement gates: params + stats
+    + model kwargs + one val micro-batch."""
+    import flax.serialization
+    import jax
+
+    vsplit = ctx["evals"]["val"]
+    k = min(fix["batch_size"], len(vsplit["questions_len"]))
+    vid = np.asarray(vsplit["video_ids"][:k], np.int32)
+    bundle = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "model_kwargs": dict(
+            vision_dim=fix["vision_dim"],
+            module_dim=fix["module_dim"],
+            word_dim=fix["word_dim"],
+            question_vocab_size=ctx["vs"],
+            num_answers=ctx["na"],
+            num_of_nodes=fix["num_clips"],
+            **MODEL_KW,
+        ),
+        "val_batch": {
+            "app": ctx["app"][vid],
+            "mot": ctx["mot"][vid],
+            "q": np.asarray(vsplit["questions"][:k], np.int32),
+            "qlen": np.asarray(vsplit["questions_len"][:k], np.int32),
+        },
+    }
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(bundle))
+    return path
+
+
+def regenerate_bundle(path: str | None = None, epochs: int = 12,
+                      out_dir: str | None = None) -> str:
+    """Train ONLY the fp32 anchor on the standard fixture and write the
+    trained-weights bundle (the gitignored benchmarks/fastpath_trained.msgpack
+    that bench.py's trained gates consume). Same fixture, seed, optimizer
+    and epoch count as :func:`run`, so the bundle is the run() bundle."""
+    fix = dict(FIXTURE)
+    out_dir = out_dir or tempfile.mkdtemp(prefix="fastpath_bundle_")
+    ctx = _setup(out_dir, fix)
+    model = _build_model(fix, ctx["vs"], ctx["na"], use_pallas=False)
+    state = _train(fix, model, ctx["app_d"], ctx["mot_d"], ctx["train_split"],
+                   epochs, ctx["train_split"]["glove"])
+    path = path or os.path.join(REPO, "benchmarks", "fastpath_trained.msgpack")
+    return _save_bundle(ctx, fix, state, path)
+
+
+def run(out_dir: str, epochs: int = 12, fixture_overrides: dict | None = None,
+        save_trained: bool = True, bundle_path: str | None = None) -> dict:
+    import jax
+
+    fix = dict(FIXTURE)
+    if fixture_overrides:
+        fix.update(fixture_overrides)
+    ctx = _setup(out_dir, fix)
+    on_tpu = jax.default_backend() == "tpu"
+
+    train_split = ctx["train_split"]
+    evals = ctx["evals"]
+    app_d, mot_d = ctx["app_d"], ctx["mot_d"]
+    vs, na = ctx["vs"], ctx["na"]
+    eval_q, n_eval = ctx["eval_q"], ctx["n_eval"]
+    eval_bs = min(EVAL_BS, max(fix["batch_size"], n_eval))
 
     # ---- anchor training: fp32, plain XLA ----
     model_anchor = _build_model(fix, vs, na, use_pallas=False)
-    state = _train(fix, model_anchor, app_d, mot_d, train_split, epochs, train_split["glove"])
-
-    # eval answers (val + test concatenated: one big eval set for tighter n)
-    eval_q = {
-        m: np.asarray(s["answers"], np.int64) for m, s in evals.items()
-    }
-    n_eval = sum(len(v) for v in eval_q.values())
+    state = _train(fix, model_anchor, app_d, mot_d, train_split, epochs,
+                   train_split["glove"])
 
     paths = {
         "fp32_xla": dict(use_pallas=False, compute_dtype="float32", cast16=False),
@@ -251,31 +373,39 @@ def run(out_dir: str, epochs: int = 12, fixture_overrides: dict | None = None,
         "combined": dict(use_pallas=True, compute_dtype="bfloat16", cast16=True),
     }
     results = {}
+    anchor_correct = None
     anchor_preds = {}
     for name, p in paths.items():
         if p["use_pallas"] and not on_tpu:
             results[name] = {"skipped": f"requires TPU (backend={jax.default_backend()})"}
             continue
         m = _build_model(fix, vs, na, use_pallas=p["use_pallas"], compute_dtype=p["compute_dtype"])
-        correct = flips = 0
         preds_by_split = {}
+        correct_vec = []
+        flips = 0
         for mode, split in evals.items():
-            preds = _predict(fix, m, state, app_d, mot_d, split, cast16=p["cast16"])
+            preds = _predict(fix, m, state, app_d, mot_d, split,
+                             cast16=p["cast16"], batch_size=eval_bs)
             preds_by_split[mode] = preds
-            correct += int((preds == eval_q[mode]).sum())
+            correct_vec.append(preds == eval_q[mode])
             if name != "fp32_xla":
                 flips += int((preds != anchor_preds[mode]).sum())
+        correct_vec = np.concatenate(correct_vec)
         if name == "fp32_xla":
             anchor_preds = preds_by_split
-        acc = correct / n_eval
+            anchor_correct = correct_vec
+        k = int(correct_vec.sum())
+        acc = k / n_eval
         results[name] = {
             "accuracy": round(acc, 6),
+            "accuracy_ci95": [round(x, 6) for x in _binom_ci(k, n_eval)],
             "n_eval": n_eval,
             **(
                 {}
                 if name == "fp32_xla"
                 else {
                     "delta_vs_anchor": round(acc - results["fp32_xla"]["accuracy"], 6),
+                    **_paired_delta_ci(correct_vec, anchor_correct),
                     "argmax_flips_vs_anchor": flips,
                     "argmax_agreement": round(1.0 - flips / n_eval, 6),
                 }
@@ -294,7 +424,9 @@ def run(out_dir: str, epochs: int = 12, fixture_overrides: dict | None = None,
     # (fused kernels + bf16). The appearance kernel genuinely streams its
     # gate projections in bf16 (halved HBM traffic of the model's largest
     # activation), so this one is a real accuracy measurement, not an
-    # identity.
+    # identity. The paired delta CI here spans trajectory chaos (the two
+    # runs legitimately learn different functions from one-ulp seeds —
+    # benchmarks/bf16_chaos_control.py separates chaos from bias).
     train_cfgs = {
         "bf16_trained_end_to_end": dict(use_pallas=False, compute_dtype="bfloat16"),
     }
@@ -305,15 +437,20 @@ def run(out_dir: str, epochs: int = 12, fixture_overrides: dict | None = None,
     for name, mkw in train_cfgs.items():
         m16 = _build_model(fix, vs, na, **mkw)
         state16 = _train(fix, m16, app_d, mot_d, train_split, epochs, train_split["glove"])
-        correct16 = 0
+        correct_vec = []
         for mode, split in evals.items():
-            preds = _predict(fix, m16, state16, app_d, mot_d, split)
-            correct16 += int((preds == eval_q[mode]).sum())
-        acc16 = correct16 / n_eval
+            preds = _predict(fix, m16, state16, app_d, mot_d, split,
+                             batch_size=eval_bs)
+            correct_vec.append(preds == eval_q[mode])
+        correct_vec = np.concatenate(correct_vec)
+        k = int(correct_vec.sum())
+        acc16 = k / n_eval
         results[name] = {
             "accuracy": round(acc16, 6),
+            "accuracy_ci95": [round(x, 6) for x in _binom_ci(k, n_eval)],
             "n_eval": n_eval,
             "delta_vs_fp32_trained": round(acc16 - results["fp32_xla"]["accuracy"], 6),
+            **_paired_delta_ci(correct_vec, anchor_correct),
         }
 
     out = {
@@ -322,44 +459,20 @@ def run(out_dir: str, epochs: int = 12, fixture_overrides: dict | None = None,
         "epochs": epochs,
         "lr": LR,
         "backend": jax.default_backend(),
-        "val_clean_fraction": gen["val_clean_fraction"],
+        "val_clean_fraction": ctx["gen"]["val_clean_fraction"],
         "paths": results,
         "gate": "BASELINE.md north-star: <=0.2% absolute accuracy delta",
+        "ci_method": (
+            "accuracy_ci95: exact Clopper-Pearson; delta_ci95: paired "
+            "discordant-pair (McNemar) exact binomial — 0 flips -> [0, 0]"
+        ),
     }
 
     if save_trained:
-        # trained-weights bundle for bench.py's agreement gates: params +
-        # stats + model kwargs + one val micro-batch + its anchor preds
-        import flax.serialization
-
-        vsplit = evals["val"]
-        k = min(fix["batch_size"], len(vsplit["questions_len"]))
-        vid = np.asarray(vsplit["video_ids"][:k], np.int32)
-        bundle = {
-            "params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
-            "model_kwargs": dict(
-                vision_dim=fix["vision_dim"],
-                module_dim=fix["module_dim"],
-                word_dim=fix["word_dim"],
-                question_vocab_size=vs,
-                num_answers=na,
-                num_of_nodes=fix["num_clips"],
-                **MODEL_KW,
-            ),
-            "val_batch": {
-                "app": app[vid],
-                "mot": mot[vid],
-                "q": np.asarray(vsplit["questions"][:k], np.int32),
-                "qlen": np.asarray(vsplit["questions_len"][:k], np.int32),
-            },
-        }
         path = bundle_path or os.path.join(
             REPO, "benchmarks", "fastpath_trained.msgpack"
         )
-        with open(path, "wb") as f:
-            f.write(flax.serialization.msgpack_serialize(bundle))
-        out["trained_bundle"] = path
+        out["trained_bundle"] = _save_bundle(ctx, fix, state, path)
 
     return out
 
@@ -386,14 +499,16 @@ def main():
     out_dir = args.out or tempfile.mkdtemp(prefix="fastpath_")
     result = run(out_dir, epochs=args.epochs)
 
-    print(f"\n{'path':<26} {'accuracy':>9} {'delta':>9} {'flips':>6}")
+    print(f"\n{'path':<30} {'accuracy':>9} {'delta':>9} {'delta 95% CI':>22} {'flips':>6}")
     for name, r in result["paths"].items():
         if "skipped" in r:
-            print(f"{name:<26} skipped: {r['skipped']}")
+            print(f"{name:<30} skipped: {r['skipped']}")
             continue
         d = r.get("delta_vs_anchor", r.get("delta_vs_fp32_trained", 0.0))
+        ci = r.get("delta_ci95")
+        ci_s = f"[{ci[0]:+.4f}, {ci[1]:+.4f}]" if ci else "-"
         print(
-            f"{name:<26} {r['accuracy']:>9.4f} {d:>+9.4f} "
+            f"{name:<30} {r['accuracy']:>9.4f} {d:>+9.4f} {ci_s:>22} "
             f"{r.get('argmax_flips_vs_anchor', '-'):>6}"
         )
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fastpath_accuracy.json")

@@ -55,6 +55,7 @@ def generate(
     max_epochs: int = 2,
     category_names: bool = False,
     label_noise: float = 0.0,
+    eval_questions_per_video: int | None = None,
 ) -> dict:
     """Write all artifacts; returns {'config': path to the YAML, ...}.
 
@@ -67,7 +68,15 @@ def generate(
     fixture. The returned dict carries ``noise_stats`` and
     ``val_clean_fraction`` (the Bayes-style accuracy ceiling on val: a model
     that learns the true answer function exactly scores the clean fraction,
-    since noisy val labels are unpredictable by construction)."""
+    since noisy val labels are unpredictable by construction).
+
+    ``eval_questions_per_video``: question count per VAL/TEST video (train
+    keeps ``questions_per_video``). Statistical-power knob: accuracy-parity
+    deltas are gated at 0.2% absolute (BASELINE.md), so the eval split must
+    be large enough for a binomial CI at that scale while the train split —
+    whose size sets the training cost — stays small. ``None`` (default)
+    keeps every split at ``questions_per_video`` and the byte-identical rng
+    stream of pre-knob fixtures."""
     rng = np.random.RandomState(seed)
     os.makedirs(out_dir, exist_ok=True)
     name = dataset
@@ -120,8 +129,11 @@ def generate(
         qs, qlens, qids, vid_list, answers, cats = [], [], [], [], [], []
         qid = qid_start
         n_noised = 0
+        qpv = questions_per_video
+        if mode != "train" and eval_questions_per_video is not None:
+            qpv = eval_questions_per_video
         for v in vids:
-            for k in range(questions_per_video):
+            for k in range(qpv):
                 first = question_token_to_idx[bucket_words[k % len(bucket_words)]]
                 length = int(rng.randint(3, max_q_len + 1))
                 toks = [first] + list(
@@ -242,6 +254,7 @@ def main():
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--max-epochs", type=int, default=2)
     p.add_argument("--label-noise", type=float, default=0.0)
+    p.add_argument("--eval-questions-per-video", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     paths = generate(
@@ -259,6 +272,7 @@ def main():
         batch_size=args.batch_size,
         max_epochs=args.max_epochs,
         label_noise=args.label_noise,
+        eval_questions_per_video=args.eval_questions_per_video,
         seed=args.seed,
     )
     for k, v in paths.items():

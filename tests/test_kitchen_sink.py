@@ -36,6 +36,7 @@ tpu:
   grad_accum: 2
   zero_opt: True
   tensor_parallel: 2
+  compute_dtype: 'bfloat16'
   transfer_dtype: 'bfloat16'
   metrics_jsonl: 'metrics.jsonl'
   autosave: True
