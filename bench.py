@@ -100,30 +100,43 @@ def _over_budget(reserve: float = 0.0) -> bool:
 
 
 def _measure_once(fn, args, steps):
-    """One (t_n - t_1)/steps sample of a chained fn (already warmed)."""
+    """One (t_1, t_{n+1}) pair of a chained fn (already warmed)."""
     t0 = time.perf_counter()
     float(fn(*args, 1))
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
     float(fn(*args, steps + 1))
     tn = time.perf_counter() - t0
-    return (tn - t1) / steps
+    return t1, tn
+
+
+def _per_step(pairs, steps):
+    """(min(t_{n+1}) - min(t_1)) / steps over (t1, tn) sample pairs.
+
+    Subtracting PAIRWISE and taking the min of differences is biased LOW:
+    it cherry-picks the round whose 1-iteration overhead probe happened to
+    be slow (the canary measured 112% of peak that way — physically
+    impossible). min(tn) - min(t1) takes each term's own best case; both
+    are floors of the same constant overhead + k iterations, so the
+    difference is the cleanest n-iteration estimate the host clock gives.
+    """
+    return max(min(tn for _, tn in pairs) - min(t1 for t1, _ in pairs), 0.0) / steps
 
 
 def _time_interleaved(named, repeats=5, raw=None):
-    """Interleaved min-of-N timing over {name: (fn, args, steps)}.
+    """Interleaved timing over {name: (fn, args, steps)}.
 
     Every repeat round measures EVERY configuration once before the next
     round starts, so slow drift (tunnel load, clocks) hits all
     configurations equally — the fp32-vs-bf16 deltas stay honest. ``raw``
     lets earlier priority samples (the headline-securing pass) fold into
-    the per-configuration minimum.
+    the per-configuration estimate.
     """
     raw = {k: list((raw or {}).get(k, [])) for k in named}
     for _ in range(repeats):
         for k, (fn, args, steps) in named.items():
             raw[k].append(_measure_once(fn, args, steps))
-    best = {k: min(v) for k, v in raw.items()}
+    best = {k: _per_step(v, named[k][2]) for k, v in raw.items()}
     return best, raw
 
 
@@ -162,7 +175,7 @@ def _require_devices(timeout_s: float):
     return out[0]
 
 
-def _fast_create_state(model_xla, opt, root_key, example_host, device):
+def _fast_create_state(model_xla, opt, seed, prng_impl, example_host, device):
     """TrainState at flagship shapes WITHOUT compiling the init program.
 
     The on-device flax init compiled for 161 s cold through the tunnel
@@ -178,22 +191,33 @@ def _fast_create_state(model_xla, opt, root_key, example_host, device):
     from dualvgr_tpu import train_lib
 
     if os.environ.get("BENCH_INIT", "cpu") == "device":
-        return train_lib.create_train_state(model_xla, root_key, example_host, opt)
+        return train_lib.create_train_state(
+            model_xla, jax.random.key(seed, impl=prng_impl), example_host, opt
+        )
 
     import jax.numpy as jnp
 
     app, mot, q, qlen = example_host
-    init_rng, state_rng = jax.random.split(root_key)
     cpu = jax.devices("cpu")[0]
     with jax.disable_jit(), jax.default_device(cpu):
+        # the key is created ON the CPU: committed arrays win eager
+        # placement over default_device, so a TPU-resident key routes every
+        # eager init op through the tunnel — and even device_put'ing a
+        # TPU key back costs ~2 min behind the queued input generation
+        # (key bits depend only on seed+impl, not the creating device)
+        root_key = jax.random.key(seed, impl=prng_impl)
+        init_rng, state_rng = jax.random.split(root_key)
         variables = model_xla.init(
             {"params": init_rng, "dropout": init_rng},
             np.asarray(app), np.asarray(mot), np.asarray(q), np.asarray(qlen),
             train=False,
         )
+    _stage("cpu eager init done")
     params = jax.device_put(variables["params"], device)
     batch_stats = jax.device_put(variables.get("batch_stats", {}), device)
     opt_state = jax.jit(opt.init)(params)
+    jax.block_until_ready(opt_state)
+    _stage("params shipped + opt.init done")
     return train_lib.TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -203,12 +227,14 @@ def _fast_create_state(model_xla, opt, root_key, example_host, device):
     )
 
 
-def _canary(steps: int = 20, repeats: int = 3):
+def _canary(steps: int = 100, repeats: int = 4):
     """Fixed chained-matmul drift canary: (8192,2048)@(2048,1536) then
     @(1536,2048), tanh between, n iterations in one program. Its ms/iter is
     independent of this repo's model code, so cross-round artifact deltas
     split into (canary moved -> tunnel/clock drift) vs (canary flat, model
-    moved -> real regression). ~103.1 analytic GFLOP per iteration."""
+    moved -> real regression). ~103.1 analytic GFLOP per iteration; 100
+    chained iterations (~52 ms) so the launch/fetch overhead subtraction is
+    a few percent of the chain, not comparable to it."""
     import jax
     import jax.numpy as jnp
 
@@ -224,15 +250,15 @@ def _canary(steps: int = 20, repeats: int = 3):
         return jax.lax.fori_loop(0, n, body, x).sum()
 
     float(chained(x, w1, w2, 1))  # compile + warm
-    samples = [
-        _measure_once(chained, (x, w1, w2), steps) for _ in range(repeats)
-    ]
-    t = min(samples)
+    pairs = [_measure_once(chained, (x, w1, w2), steps) for _ in range(repeats)]
+    t = _per_step(pairs, steps)
     flops = 2 * 8192 * 2048 * 1536 * 2
     return {
         "canary_ms": round(t * 1e3, 3),
         "canary_tflops": round(flops / t / 1e12, 2),
-        "canary_raw_ms": [round(s * 1e3, 3) for s in samples],
+        "canary_raw_ms": [
+            round((tn - t1) / steps * 1e3, 3) for t1, tn in pairs
+        ],
     }
 
 
@@ -257,6 +283,8 @@ def main():
     from dualvgr_tpu import train_lib
     from dualvgr_tpu.parallel import data_mesh, replicate, shard_batch
     from dualvgr_tpu.utils.flops import dualvgr_forward_flops, dualvgr_train_flops
+
+    _stage("imports + backend up")
 
     baseline_path = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.json")
     baseline = REFERENCE_QA_PER_SEC
@@ -294,6 +322,8 @@ def main():
     kapp, kmot = jax.random.split(jax.random.PRNGKey(0))
     app = jax.random.normal(kapp, (batch, 16, 16, 2048), jnp.float32)
     mot = jax.random.normal(kmot, (batch, 16, 2048), jnp.float32)
+    jax.block_until_ready(mot)
+    _stage("on-device inputs generated")
     q = rng.randint(1, vocab_size, (batch, t)).astype(np.int32)
     qlen = rng.randint(4, t + 1, (batch,)).astype(np.int32)
     for i in range(batch):
@@ -302,15 +332,17 @@ def main():
     valid = np.ones((batch,), np.float32)
 
     opt = train_lib.make_optimizer(1e-4, 100)
-    # rbg: the hardware PRNG the flagship configs ship with (tpu.prng_impl;
-    # dropout mask generation off the threefry critical path)
-    root_key = jax.random.key(666, impl=os.environ.get("BENCH_PRNG", "rbg"))
     example_host = (
         np.zeros((1, 16, 16, 2048), np.float32),
         np.zeros((1, 16, 2048), np.float32),
         q[:1], qlen[:1],
     )
-    state = _fast_create_state(model_xla, opt, root_key, example_host, jax.devices()[0])
+    # rbg: the hardware PRNG the flagship configs ship with (tpu.prng_impl;
+    # dropout mask generation off the threefry critical path)
+    state = _fast_create_state(
+        model_xla, opt, 666, os.environ.get("BENCH_PRNG", "rbg"),
+        example_host, jax.devices()[0],
+    )
     _stage("state init done")
     mesh = data_mesh()
     n_chips = mesh.size
@@ -476,9 +508,10 @@ def main():
         "train_grad_gate": gates["train_grads"],
         # per-round raw per-step times (ms) for every configuration: lets a
         # reader separate real regressions from tunnel drift (the headline
-        # is the min; the spread is the drift)
+        # uses min(t_n)-min(t_1); the spread here is the drift)
         "raw_ms_per_round": {
-            k: [round(x * 1e3, 3) for x in v] for k, v in raw.items()
+            k: [round((tn - t1) / plans[k][2] * 1e3, 3) for t1, tn in v]
+            for k, v in raw.items()
         },
         **trained,
         "wall_s": round(time.time() - _T_START, 1),

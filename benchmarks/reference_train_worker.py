@@ -25,6 +25,19 @@ Writes into --out:
   ref_accs.json       {"val_acc": [per-epoch], "categories": last epoch's
                       15-way accuracies, "n_val": int}
 
+STEP mode (--steps N, used by benchmarks/flagship_step_parity.py): the
+reference train() runs exactly N batches of ONE epoch and two DOCUMENTED
+determinism patches are applied so per-step LOSSES are comparable at fp32
+tolerance — F.dropout becomes identity and BatchNorm1d always normalizes
+with its running statistics (dropout streams and batch-stat mixing are the
+only two legitimately-divergent elements between frameworks; the same
+convention as tests/test_training_parity.py). Each consumed batch and each
+total loss (CE + alpha*common + beta*HSIC, captured at loss.backward,
+reference train.py:146-155) is recorded, so the parent can replay the
+IDENTICAL data through its own train step. Extra outputs:
+  ref_step_losses.json  [N total-loss floats, in step order]
+  ref_batches.npz       step_{i}_{app,mot,q,qlen,ans} arrays
+
 NOTE the reference trainer quirk (SURVEY.md 2.11-1): train.py never passes
 unit_layers to the model, so the reference ALWAYS trains with the signature
 default unit_layers=2 (models.py:36). The parent must therefore build the
@@ -57,6 +70,12 @@ def main():
     ap.add_argument("--alpha", type=float, default=1.0)
     ap.add_argument("--beta", type=float, default=1e-8)
     ap.add_argument("--seed", type=int, default=666)
+    ap.add_argument(
+        "--steps", type=int, default=0,
+        help="run exactly N batches of one epoch with deterministic "
+        "(dropout-off, BN-running-stats) forwards and record per-step "
+        "losses + batches (0 = normal epoch mode)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -93,8 +112,52 @@ def main():
     torch.Tensor.to = cpu_to
     torch.Tensor.cuda = lambda self, *a, **k: self
 
+    step_losses: list = []
+    captured_batches: list = []
+    if args.steps:
+        # deterministic forwards, documented (see module docstring):
+        # dropout -> identity at the functional root (nn.Dropout.forward
+        # resolves F.dropout at call time)
+        import torch.nn.functional as F
+
+        F.dropout = lambda x, p=0.5, training=False, inplace=False: x
+
+        # BatchNorm1d -> always running statistics (never batch stats)
+        def bn_eval_forward(self, x):
+            return torch.nn.functional.batch_norm(
+                x, self.running_mean, self.running_var, self.weight,
+                self.bias, False, 0.0, self.eps,
+            )
+
+        torch.nn.BatchNorm1d.forward = bn_eval_forward
+
+        # per-step TOTAL loss (CE + alpha*common + beta*HSIC): the only
+        # backward() in the loop is the total loss (reference train.py:155)
+        orig_backward = torch.Tensor.backward
+
+        def recording_backward(self, *a, **k):
+            step_losses.append(float(self.detach()))
+            return orig_backward(self, *a, **k)
+
+        torch.Tensor.backward = recording_backward
+
     import train as ref_train  # /root/reference/train.py
     from config import cfg  # reference global config defaults
+
+    if args.steps:
+        # truncate the epoch to N batches, recording each consumed batch so
+        # the parent replays IDENTICAL data through its own train step
+        real_loader_cls = ref_train.VideoQADataLoader
+
+        class StepLoader(real_loader_cls):
+            def __iter__(self):
+                for j, b in enumerate(super().__iter__()):
+                    if j >= args.steps:
+                        break
+                    captured_batches.append([np.asarray(x) for x in b])
+                    yield b
+
+        ref_train.VideoQADataLoader = StepLoader
 
     # no 10 s naps before checkpoint saves (reference train.py:366)
     import time as _time
@@ -154,8 +217,10 @@ def main():
     cfg.train.train_num = 0
     cfg.train.glove = True
     cfg.train.restore = False
-    cfg.val.flag = True
+    cfg.val.flag = not args.steps  # step mode: no val loader, no validate()
     cfg.val.val_num = 0
+    if args.steps:
+        cfg.train.max_epochs = 1
     cfg.alpha = args.alpha
     cfg.beta = args.beta
     os.makedirs(cfg.dataset.save_dir, exist_ok=True)
@@ -172,7 +237,20 @@ def main():
     )
     with open(os.path.join(args.out, "ref_accs.json"), "w") as f:
         json.dump(accs, f, indent=2)
-    print("REF_WORKER_OK", json.dumps(accs["val_acc"]))
+    if args.steps:
+        with open(os.path.join(args.out, "ref_step_losses.json"), "w") as f:
+            json.dump(step_losses, f)
+        # svqa batch layout (reference DataLoader.py:77-84): (video_idx,
+        # q_idx, category, answer, app, mot, question, q_len)
+        arrays = {}
+        for i, b in enumerate(captured_batches):
+            arrays[f"step_{i}_ans"] = b[-5]
+            arrays[f"step_{i}_app"] = b[-4]
+            arrays[f"step_{i}_mot"] = b[-3]
+            arrays[f"step_{i}_q"] = b[-2]
+            arrays[f"step_{i}_qlen"] = b[-1]
+        np.savez(os.path.join(args.out, "ref_batches.npz"), **arrays)
+    print("REF_WORKER_OK", json.dumps(step_losses if args.steps else accs["val_acc"]))
 
 
 if __name__ == "__main__":
