@@ -17,15 +17,35 @@ Protocol
      (benchmarks/reference_train_worker.py --steps N): dropout identity +
      BatchNorm on running stats (the two legitimately-divergent elements,
      same convention as tests/test_training_parity.py), recording every
-     consumed batch and every total loss at loss.backward().
+     consumed batch, every total loss at loss.backward(), and the FULL
+     step-0 gradient state.
   3. This framework ports the reference's captured init (+ the same GloVe
      injection), replays the IDENTICAL batches through its jitted
      loss/grad/clip-12/Adam step (deterministic forward), and records its
-     per-step losses.
-  4. Gate: per-step relative loss deltas at fp32 tolerance (default 1e-3 —
-     both sides run fp32 on CPU; the reference trainer quirk applies, so
-     both models run unit_layers=2, SURVEY.md 2.11-1), plus a final-params
-     max relative distance vs the reference's post-step state_dict.
+     per-step losses + step-0 gradients.
+  4. Gates (both sides strict fp32 on CPU; the reference trainer quirk
+     applies, so both models run unit_layers=2, SURVEY.md 2.11-1):
+       a. step-0 loss: relative delta at fp32 tolerance — forward + loss
+          math parity at flagship operand widths.
+       b. step-0 GRADIENTS, leaf by leaf (ported through the same
+          state-dict mapping): the deterministic backward-parity gate.
+          This is the real shape-dependent-bug detector — measured first:
+          forward matched to 1.2e-7 while Adam-stepped trajectories
+          diverged percent-scale, because Adam's first step is
+          ~±lr*sign(g) and near-zero gradient elements amplify fp32
+          reduction-order sign noise into full ±lr update flips (the same
+          mechanism benchmarks/bf16_divergence_bisect.py pinned for bf16).
+          Raw gradients are free of optimizer chaos.
+       c. per-step losses at the FLAGSHIP lr 1e-4 (configs/*.yml): loss is
+          first-order insensitive to the flat coordinates whose update
+          signs flip, so at the real recipe's step size the trajectory
+          deltas stay small.
+     Tolerances are SELF-CALIBRATING: a permuted-batch replay of OUR OWN
+     stack (mathematically identical — only fp32 reduction order changes)
+     measures the fixture's conditioning noise floor per step and per
+     gradient metric; each gate is max(fixed tol, CHAOS_K x floor). The
+     aux-loss gradients here are cancellation-heavy at ~1e5 magnitudes —
+     a guessed fixed tolerance would be either vacuous or flaky.
 
 Writes benchmarks/flagship_step_parity.json.
 
@@ -62,10 +82,13 @@ FIXTURE = dict(
     seed=0,
     category_names=True,  # the reference loader can only consume string cats
 )
-LR = 1e-3
+LR = 1e-4  # the flagship recipe's lr (configs/*.yml; see docstring gate c)
 ALPHA, BETA = 1.0, 1e-8
 SEED = 666
-REL_TOL = 1e-3
+REL_TOL = 1e-3       # per-step loss gate (min; widened by the noise floor)
+GRAD_REL_TOL = 1e-3  # step-0 gradient gate (min; widened by the noise floor)
+GRAD_FLOOR = 1e-4    # leaves with ||g_ref|| < floor*global gated by atol
+CHAOS_K = 5          # gate = max(TOL, K x measured reduction-order floor)
 
 
 def run_reference_steps(data_dir: str, out_dir: str, steps: int) -> dict:
@@ -92,7 +115,71 @@ def run_reference_steps(data_dir: str, out_dir: str, steps: int) -> dict:
     with open(os.path.join(out_dir, "ref_step_losses.json")) as f:
         losses = json.load(f)
     batches = np.load(os.path.join(out_dir, "ref_batches.npz"))
-    return {"losses": losses, "batches": batches}
+    return {"losses": losses, "batches": batches, "out_dir": out_dir}
+
+
+def _ported_ref_grads0(ref_out: str):
+    """The reference's step-0 gradients in OUR param-tree layout.
+
+    The state-dict port mapping is per-tensor reshape/transpose/concat, so
+    applying it to the gradient dict aligns cotangents exactly. The mapping
+    also reads BN buffers, which carry no gradient — overlay the grads onto
+    a zeros-like copy of the full init state_dict."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from dualvgr_tpu.utils.port_reference import port_reference_state_dict
+
+    init_sd = torch.load(
+        os.path.join(ref_out, "ref_init_state.pt"), map_location="cpu"
+    )
+    grads = torch.load(os.path.join(ref_out, "ref_grads0.pt"), map_location="cpu")
+    merged = {k: torch.zeros_like(v) for k, v in init_sd.items()}
+    merged.update(grads)
+    return jax.tree_util.tree_map(
+        jnp.asarray,
+        port_reference_state_dict(merged, unit_layers=2, graph_layers=1),
+    )["params"]
+
+
+def _grad_parity(ours_g, ref_g):
+    """Leaf-by-leaf step-0 gradient comparison (see docstring gate b)."""
+    import jax
+    import optax
+
+    gnorm = float(optax.global_norm(ours_g))
+    ref_norm = float(optax.global_norm(ref_g))
+    flat_ours = jax.tree_util.tree_leaves_with_path(ours_g)
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_g))
+    floor = GRAD_FLOOR * gnorm
+    worst_rel, worst_rel_leaf = 0.0, None
+    worst_atol, worst_atol_leaf = 0.0, None
+    n_floor = 0
+    for k, v in flat_ours:
+        a = np.asarray(v, np.float64)
+        b = np.asarray(flat_ref[k], np.float64)
+        diff = float(np.linalg.norm(a - b))
+        nb = float(np.linalg.norm(b))
+        if nb >= floor:
+            rel = diff / nb
+            if rel > worst_rel:
+                worst_rel, worst_rel_leaf = rel, jax.tree_util.keystr(k)
+        else:
+            n_floor += 1
+            if diff > worst_atol:
+                worst_atol, worst_atol_leaf = diff, jax.tree_util.keystr(k)
+    return {
+        "grad_global_norm_ours": gnorm,
+        "grad_global_norm_ref": ref_norm,
+        "grad_global_norm_rel_delta": abs(gnorm - ref_norm) / max(ref_norm, 1e-12),
+        "grad_worst_leaf_rel": worst_rel,
+        "grad_worst_leaf": worst_rel_leaf,
+        "grad_leaves_below_floor": n_floor,
+        "grad_floor_worst_abs": worst_atol,
+        "grad_floor_worst_leaf": worst_atol_leaf,
+        "grad_floor": floor,
+    }
 
 
 def run_ours_steps(data_dir: str, ref_out: str, steps: int, batches) -> dict:
@@ -146,7 +233,6 @@ def run_ours_steps(data_dir: str, ref_out: str, steps: int, batches) -> dict:
     params["linguistic_input_unit"]["encoder_embed"] = {"embedding": glove}
 
     opt = optax.chain(optax.clip_by_global_norm(12.0), optax.adam(LR))
-    opt_state = opt.init(params)
 
     @jax.jit
     def step(params, opt_state, app, mot, q, qlen, ans):
@@ -164,17 +250,83 @@ def run_ours_steps(data_dir: str, ref_out: str, steps: int, batches) -> dict:
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return loss, optax.apply_updates(params, updates), opt_state
+        return loss, grads, optax.apply_updates(params, updates), opt_state
 
-    losses = []
-    for i in range(steps):
-        app = jnp.asarray(batches[f"step_{i}_app"], jnp.float32)
-        mot = jnp.asarray(batches[f"step_{i}_mot"], jnp.float32)
-        q = jnp.asarray(batches[f"step_{i}_q"], jnp.int32)
-        qlen = jnp.asarray(batches[f"step_{i}_qlen"], jnp.int32)
-        ans = jnp.asarray(batches[f"step_{i}_ans"], jnp.int32)
-        loss, params, opt_state = step(params, opt_state, app, mot, q, qlen, ans)
-        losses.append(float(loss))
+    # leaves whose axis-0 rows live in vision_dim (consume raw features)
+    FEATURE_LEAVES = (
+        ("visual_appearance_input_unit", "encoder", "w_ih_fwd"),
+        ("visual_appearance_input_unit", "encoder", "w_ih_bwd"),
+        ("visual_motion_input_unit", "proj", "kernel"),
+    )
+
+    def _map_leaf(tree, path, fn):
+        t = dict(tree)
+        if len(path) == 1:
+            t[path[0]] = fn(t[path[0]])
+        else:
+            t[path[0]] = _map_leaf(t[path[0]], path[1:], fn)
+        return t
+
+    def replay(permute_seed=None, feature_perm=None):
+        """One N-step replay with two mathematically-exact perturbations
+        that ONLY change fp32 reduction orders:
+
+        * ``permute_seed`` shuffles each batch's ROWS (a no-op for every
+          term: CE mean, batch-summed common/HSIC, per-sample encoders,
+          BN on running stats) — perturbs the batch-dim reductions;
+        * ``feature_perm`` permutes the vision_dim axis of the input
+          features AND the input rows of the three weights that consume
+          them (grads are un-permuted before return) — perturbs the INNER
+          matmul/LSTM reduction orders, the same class of difference two
+          correct frameworks have.
+
+        Their deltas are this fixture's measured conditioning noise floor,
+        against which the cross-framework deltas are gated (the aux-loss
+        gradients are cancellation-heavy at ~1e5 magnitudes — a fixed rel
+        tolerance would be a guess)."""
+        perm_rng = (
+            np.random.RandomState(permute_seed) if permute_seed is not None else None
+        )
+        p0 = init_params
+        if feature_perm is not None:
+            inv = np.argsort(feature_perm)
+            for path in FEATURE_LEAVES:
+                p0 = _map_leaf(p0, path, lambda w: w[jnp.asarray(feature_perm)])
+        p_, o_ = p0, opt.init(p0)
+        losses, grads0 = [], None
+        for i in range(steps):
+            arrs = {
+                k: np.asarray(batches[f"step_{i}_{k}"])
+                for k in ("app", "mot", "q", "qlen", "ans")
+            }
+            if perm_rng is not None:
+                perm = perm_rng.permutation(len(arrs["ans"]))
+                arrs = {k: v[perm] for k, v in arrs.items()}
+            if feature_perm is not None:
+                arrs["app"] = arrs["app"][..., feature_perm]
+                arrs["mot"] = arrs["mot"][..., feature_perm]
+            loss, grads, p_, o_ = step(
+                p_, o_,
+                jnp.asarray(arrs["app"], jnp.float32),
+                jnp.asarray(arrs["mot"], jnp.float32),
+                jnp.asarray(arrs["q"], jnp.int32),
+                jnp.asarray(arrs["qlen"], jnp.int32),
+                jnp.asarray(arrs["ans"], jnp.int32),
+            )
+            if i == 0:
+                grads0 = jax.device_get(grads)
+                if feature_perm is not None:
+                    for path in FEATURE_LEAVES:
+                        grads0 = _map_leaf(grads0, path, lambda g: g[inv])
+            losses.append(float(loss))
+        return losses, grads0, p_
+
+    init_params = params
+    losses, grads0, params = replay()
+    ctrl_losses, ctrl_grads0, _ = replay(
+        permute_seed=12345,
+        feature_perm=np.random.RandomState(54321).permutation(FIXTURE["vision_dim"]),
+    )
 
     # final-params distance vs the reference's post-step state_dict: a
     # trajectory-level check that the N optimizer updates landed in the
@@ -201,6 +353,9 @@ def run_ours_steps(data_dir: str, ref_out: str, steps: int, batches) -> dict:
     worst = max(dists, key=dists.get)
     return {
         "losses": losses,
+        "grads0": grads0,
+        "ctrl_losses": ctrl_losses,
+        "ctrl_grads0": ctrl_grads0,
         "final_param_rel_dist_max": dists[worst],
         "final_param_rel_dist_worst_leaf": worst,
     }
@@ -242,6 +397,28 @@ def run(out_dir: str, steps: int = 4) -> dict:
         abs(o - r) / max(abs(r), 1e-12)
         for o, r in zip(ours["losses"], ref["losses"])
     ]
+    # measured conditioning noise floor: OUR stack vs OUR stack with each
+    # batch's rows permuted — mathematically identical, fp32 reduction
+    # order is the only difference (see replay() docstring)
+    ctrl_rel = [
+        abs(c - o) / max(abs(o), 1e-12)
+        for c, o in zip(ours["ctrl_losses"], ours["losses"])
+    ]
+    per_step_tol = [
+        max(REL_TOL if i else 1e-5, CHAOS_K * ctrl_rel[i]) for i in range(steps)
+    ]
+    grad_parity = _grad_parity(ours["grads0"], _ported_ref_grads0(ref_out))
+    grad_floor = _grad_parity(ours["ctrl_grads0"], ours["grads0"])
+    grad_tol_global = max(
+        GRAD_REL_TOL, CHAOS_K * grad_floor["grad_global_norm_rel_delta"]
+    )
+    grad_tol_leaf = max(GRAD_REL_TOL, CHAOS_K * grad_floor["grad_worst_leaf_rel"])
+    ok = (
+        all(r <= t for r, t in zip(rel, per_step_tol))
+        and grad_parity["grad_global_norm_rel_delta"] <= grad_tol_global
+        and grad_parity["grad_worst_leaf_rel"] <= grad_tol_leaf
+        and grad_parity["grad_floor_worst_abs"] <= grad_parity["grad_floor"]
+    )
     return {
         "fixture": {k: v for k, v in FIXTURE.items() if k != "category_names"},
         "steps": steps,
@@ -252,8 +429,19 @@ def run(out_dir: str, steps: int = 4) -> dict:
         "reference_step_losses": ref["losses"],
         "ours_step_losses": ours["losses"],
         "per_step_rel_delta": rel,
+        "noise_floor_per_step_rel": ctrl_rel,
+        "per_step_tol": per_step_tol,
         "max_rel_delta": max(rel),
-        "rel_tol": REL_TOL,
+        **grad_parity,
+        "grad_noise_floor_global_rel": grad_floor["grad_global_norm_rel_delta"],
+        "grad_noise_floor_worst_leaf_rel": grad_floor["grad_worst_leaf_rel"],
+        "grad_tol_global": grad_tol_global,
+        "grad_tol_leaf": grad_tol_leaf,
+        "chaos_k": CHAOS_K,
+        "ok": ok,
+        # report-only: per-leaf param distance after N Adam steps. Flat
+        # coordinates legitimately diverge by ~steps*lr (first-step sign
+        # chaos, docstring gate b) — informative, not a gate.
         "final_param_rel_dist_max": ours["final_param_rel_dist_max"],
         "final_param_rel_dist_worst_leaf": ours["final_param_rel_dist_worst_leaf"],
         "determinism_patches": (
@@ -270,18 +458,30 @@ def main():
     args = ap.parse_args()
     result = run(args.out or tempfile.mkdtemp(prefix="flagstep_"), steps=args.steps)
 
-    print(f"\n{'step':>4} {'reference':>12} {'ours':>12} {'rel delta':>10}")
-    for i, (r, o, d) in enumerate(zip(
+    print(f"\n{'step':>4} {'reference':>12} {'ours':>12} {'rel delta':>10} {'floor':>10} {'tol':>10}")
+    for i, (r, o, d, f_, t) in enumerate(zip(
         result["reference_step_losses"], result["ours_step_losses"],
-        result["per_step_rel_delta"],
+        result["per_step_rel_delta"], result["noise_floor_per_step_rel"],
+        result["per_step_tol"],
     )):
-        print(f"{i:>4} {r:>12.6f} {o:>12.6f} {d:>10.2e}")
+        print(f"{i:>4} {r:>12.6f} {o:>12.6f} {d:>10.2e} {f_:>10.2e} {t:>10.2e}")
     print(
-        f"\nmax rel delta {result['max_rel_delta']:.2e} (tol {REL_TOL}); "
-        f"final params max rel dist {result['final_param_rel_dist_max']:.2e} "
-        f"({result['final_param_rel_dist_worst_leaf']})"
+        f"\nstep-0 grads: global-norm rel {result['grad_global_norm_rel_delta']:.2e} "
+        f"(floor {result['grad_noise_floor_global_rel']:.2e}, "
+        f"tol {result['grad_tol_global']:.2e}); worst leaf rel "
+        f"{result['grad_worst_leaf_rel']:.2e} ({result['grad_worst_leaf']}; "
+        f"floor {result['grad_noise_floor_worst_leaf_rel']:.2e}, "
+        f"tol {result['grad_tol_leaf']:.2e}); "
+        f"{result['grad_leaves_below_floor']} leaves below floor "
+        f"(worst abs {result['grad_floor_worst_abs']:.2e})"
     )
-    ok = result["max_rel_delta"] < REL_TOL
+    print(
+        f"max per-step loss rel delta {result['max_rel_delta']:.2e}; "
+        f"final params max rel dist {result['final_param_rel_dist_max']:.2e} "
+        f"({result['final_param_rel_dist_worst_leaf']}, report-only); "
+        f"ok={result['ok']}"
+    )
+    ok = result["ok"]
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "flagship_step_parity.json"
     )

@@ -37,6 +37,8 @@ reference train.py:146-155) is recorded, so the parent can replay the
 IDENTICAL data through its own train step. Extra outputs:
   ref_step_losses.json  [N total-loss floats, in step order]
   ref_batches.npz       step_{i}_{app,mot,q,qlen,ans} arrays
+  ref_grads0.pt         {param name: grad} after the FIRST backward (the
+                        deterministic pre-optimizer numerics gate)
 
 NOTE the reference trainer quirk (SURVEY.md 2.11-1): train.py never passes
 unit_layers to the model, so the reference ALWAYS trains with the signature
@@ -132,12 +134,24 @@ def main():
         torch.nn.BatchNorm1d.forward = bn_eval_forward
 
         # per-step TOTAL loss (CE + alpha*common + beta*HSIC): the only
-        # backward() in the loop is the total loss (reference train.py:155)
+        # backward() in the loop is the total loss (reference train.py:155).
+        # After the FIRST backward, also snapshot every parameter gradient —
+        # the pre-optimizer step-0 gradients are the deterministic numerics
+        # gate (Adam's first step is ~±lr*sign(g), so near-zero-gradient
+        # elements amplify fp32 reduction-order noise into whole-update
+        # sign flips — trajectories chaos-diverge even between two correct
+        # implementations; raw gradients cannot).
         orig_backward = torch.Tensor.backward
+        grads0: dict = {}
 
         def recording_backward(self, *a, **k):
             step_losses.append(float(self.detach()))
-            return orig_backward(self, *a, **k)
+            out = orig_backward(self, *a, **k)
+            if len(step_losses) == 1 and "model" in captured:
+                for n, p in captured["model"].named_parameters():
+                    if p.grad is not None:
+                        grads0[n] = p.grad.detach().clone()
+            return out
 
         torch.Tensor.backward = recording_backward
 
@@ -240,6 +254,7 @@ def main():
     if args.steps:
         with open(os.path.join(args.out, "ref_step_losses.json"), "w") as f:
             json.dump(step_losses, f)
+        torch.save(grads0, os.path.join(args.out, "ref_grads0.pt"))
         # svqa batch layout (reference DataLoader.py:77-84): (video_idx,
         # q_idx, category, answer, app, mot, question, q_len)
         arrays = {}

@@ -18,14 +18,15 @@ pytestmark = pytest.mark.slow
 
 
 def test_flagship_step_parity(tmp_path):
-    from benchmarks.flagship_step_parity import REL_TOL, run
+    from benchmarks.flagship_step_parity import run
 
     r = run(str(tmp_path), steps=2)
     assert len(r["reference_step_losses"]) == 2
     assert len(r["ours_step_losses"]) == 2
     # losses move (the optimizer actually stepped on both sides)
     assert r["reference_step_losses"][1] != r["reference_step_losses"][0]
-    assert r["max_rel_delta"] < REL_TOL, r
-    # after 2 Adam steps from identical init on identical data the
-    # parameter trajectories coincide leaf-by-leaf
-    assert r["final_param_rel_dist_max"] < 5e-3, r
+    # forward parity is exact at fp32 (step 0 loss is pre-optimizer)
+    assert r["per_step_rel_delta"][0] < 1e-5, r
+    # the aggregate gate: per-step losses + step-0 gradients, each against
+    # max(fixed tol, CHAOS_K x the measured permuted-batch noise floor)
+    assert r["ok"], r
