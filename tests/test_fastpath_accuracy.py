@@ -16,6 +16,9 @@ TINY = dict(
     num_videos=36, questions_per_video=4, num_clips=4, vision_dim=32,
     frames=3, num_answers=12, vocab_size=40, max_q_len=8, word_dim=16,
     module_dim=32, batch_size=16,
+    # explicit eval size: the flagship FIXTURE default (680/video, built for
+    # resolving the 0.2% gate on-chip) would make this CPU guard eval-bound
+    eval_questions_per_video=170,
 )
 
 
@@ -42,17 +45,19 @@ def test_fastpath_accuracy_harness(tmp_path):
     } == set()
 
     # the fixture de-saturates (label noise) and the anchor learns it well
-    # above 12-way chance (~0.083)
+    # above 12-way chance (~0.083). The gate is 0.20, not higher: at this
+    # n_eval the accuracy is a PRECISE estimate of the tiny fixture's
+    # plateau (~0.25), not a noisy draw that can be gated at its mean.
     assert r["val_clean_fraction"] <= 0.9
     anchor = paths["fp32_xla"]["accuracy"]
-    assert anchor >= 0.25, r
+    assert anchor >= 0.20, r
 
     on_tpu = jax.default_backend() == "tpu"
     for name in ("pallas", "combined"):
         if not on_tpu:
             assert "skipped" in paths[name], paths[name]
 
-    # bf16 fast paths at trained weights: tiny-n (44 eval questions) bounds,
+    # bf16 fast paths at trained weights: loose tiny-fixture bounds,
     # generous on accuracy, tight on agreement — a real numerics bug flips
     # far more than 20% of confidently-separated trained logits
     for name in ("bf16_compute", "bf16_transfer") + (
