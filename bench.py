@@ -119,8 +119,18 @@ def _per_step(pairs, steps):
     impossible). min(tn) - min(t1) takes each term's own best case; both
     are floors of the same constant overhead + k iterations, so the
     difference is the cleanest n-iteration estimate the host clock gives.
+
+    If a tunnel stall inflates every t1 probe past min(tn) the floor
+    collapses to <= 0; fall back to the median pairwise difference rather
+    than report an impossible rate (or divide by zero downstream).
     """
-    return max(min(tn for _, tn in pairs) - min(t1 for t1, _ in pairs), 0.0) / steps
+    est = (min(tn for _, tn in pairs) - min(t1 for t1, _ in pairs)) / steps
+    if est <= 0.0:
+        diffs = sorted(max(tn - t1, 0.0) / steps for t1, tn in pairs)
+        est = diffs[len(diffs) // 2]
+    if est <= 0.0:  # every probe outran its n-step run: report the loose
+        est = min(tn for _, tn in pairs) / steps  # overestimate, never 0/inf
+    return est
 
 
 def _time_interleaved(named, repeats=5, raw=None):
@@ -179,12 +189,17 @@ def _fast_create_state(model_xla, opt, seed, prng_impl, example_host, device):
     """TrainState at flagship shapes WITHOUT compiling the init program.
 
     The on-device flax init compiled for 161 s cold through the tunnel
-    (BENCH_r04.json); initializer VALUES depend only on shapes + rng, so
-    running the same init EAGERLY on the host CPU backend (~22 s, zero XLA
-    compiles) and shipping the ~107 MB of params over (~1 s at the measured
-    93 MB/s) is semantically identical and 6x faster. The Adam moments are
-    zeros_like trees — created on device by a trivially-compiled opt.init.
-    Set BENCH_INIT=device to restore the old on-device path.
+    (BENCH_r04.json); running the same init EAGERLY on the host CPU backend
+    (~22 s, zero XLA compiles) and shipping the ~107 MB of params over
+    (~1 s at the measured 93 MB/s) is 6x faster. Distribution-identical,
+    not bitwise: under the default rbg impl the drawn bits are
+    backend-defined (XLA RngBitGenerator), so CPU-eager weights differ
+    from what on-device init would draw — irrelevant here because every
+    gate compares two programs on the SAME weights within one run; exact
+    gate values just aren't comparable against pre-r5 device-init rounds.
+    The Adam moments are zeros_like trees — created on device by a
+    trivially-compiled opt.init. Set BENCH_INIT=device to restore the old
+    on-device path.
     """
     import jax
 
@@ -203,8 +218,9 @@ def _fast_create_state(model_xla, opt, seed, prng_impl, example_host, device):
         # the key is created ON the CPU: committed arrays win eager
         # placement over default_device, so a TPU-resident key routes every
         # eager init op through the tunnel — and even device_put'ing a
-        # TPU key back costs ~2 min behind the queued input generation
-        # (key bits depend only on seed+impl, not the creating device)
+        # TPU key back costs ~2 min behind the queued input generation.
+        # (The KEY is deterministic in seed+impl; the values later DRAWN
+        # from it are backend-defined under rbg — see docstring.)
         root_key = jax.random.key(seed, impl=prng_impl)
         init_rng, state_rng = jax.random.split(root_key)
         variables = model_xla.init(
@@ -553,6 +569,7 @@ def _trained_gates(use_pallas: bool, failures: list) -> dict:
             regenerate_bundle(bundle_path)
             _stage("trained bundle regenerated")
         except Exception as e:  # noqa: BLE001 — record, don't lose the JSON
+            failures.append(f"trained_gates regen: {e!r}")
             return {"trained_gates": f"error regenerating bundle: {e!r}"}
     if _over_budget():
         return {"trained_gates": "skipped: BENCH_TIME_BUDGET exhausted"}

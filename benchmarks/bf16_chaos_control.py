@@ -78,7 +78,6 @@ from benchmarks.fastpath_accuracy import (
     FIXTURE,
     LR,
     _batches,
-    _binom_ci,
     _build_model,
     _load_features,
     _load_split,

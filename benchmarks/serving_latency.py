@@ -9,13 +9,15 @@ over batch sizes and reports per-batch latency and QA/s.
 Methodology: dependency-chained ``lax.fori_loop`` per batch size (plain
 ``block_until_ready`` does not block under tunneled TPU platforms), the
 chain perturbing the visual inputs + embedding table so no input branch is
-hoisted (see bench.py). Each repeat round yields one steady-state
-ms/batch sample ((t_n - t_1)/steps, the 1-iteration run subtracting
-launch/fetch overhead); reported are min / p50 / p99 over rounds —
-numbers are DEVICE step time, and the p99 reflects sustained drift
-(clocks, tunnel), not per-request queueing jitter (the chained loop has
-none; a real TPU VM adds PCIe/DMA input transfer, overlapped by the
-prefetch pipeline).
+hoisted (see bench.py). ``ms_per_batch`` is the floor estimator
+(min(t_{n+1}) − min(t_1))/steps over all rounds — identical to
+bench._per_step; min over PAIRWISE per-round differences is biased low
+(it cherry-picks rounds whose 1-iteration overhead probe stalled) and is
+used only for the p50/p99 drift percentiles, where a spread is wanted.
+Numbers are DEVICE step time; the p99 reflects sustained drift (clocks,
+tunnel), not per-request queueing jitter (the chained loop has none; a
+real TPU VM adds PCIe/DMA input transfer, overlapped by the prefetch
+pipeline).
 
 Run: python benchmarks/serving_latency.py [--batches 8,32,64,128,256,512]
      [--compute-dtype bfloat16] [--steps 30] [--out PATH]
@@ -116,23 +118,33 @@ def main():
         a, m, qq, ql = app[:b], mot[:b], q[:b], qlen[:b]
         float(chained(variables, a, m, qq, ql, 1))
         float(chained(variables, a, m, qq, ql, args.steps + 1))
-        samples = []
+        t1s, tns, samples = [], [], []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
             float(chained(variables, a, m, qq, ql, 1))
-            t1 = time.perf_counter() - t0
+            t1s.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             float(chained(variables, a, m, qq, ql, args.steps + 1))
-            tn = time.perf_counter() - t0
-            samples.append(max(tn - t1, 0.0) / args.steps * 1e3)
-        ms = min(samples)
+            tns.append(time.perf_counter() - t0)
+            # per-round sample for the drift percentiles only (pairwise
+            # subtraction is fine for a SPREAD; it is biased for a floor)
+            samples.append(max(tns[-1] - t1s[-1], 0.0) / args.steps * 1e3)
+        # floor estimator: min(t_{n+1}) - min(t_1), same as bench._per_step —
+        # min over PAIRWISE differences cherry-picks rounds whose overhead
+        # probe stalled and reports physically impossible rates
+        ms = (min(tns) - min(t1s)) / args.steps * 1e3
+        p50 = float(np.percentile(samples, 50))
+        if ms <= 0.0 or ms > p50:  # tunnel stall swallowed the floor
+            ms = p50
+        if ms <= 0.0:  # every probe outran its n-step run: loose overestimate
+            ms = min(tns) / args.steps * 1e3
         row = {
             "batch": b,
             "ms_per_batch": round(ms, 3),
-            "ms_p50": round(float(np.percentile(samples, 50)), 3),
+            "ms_p50": round(p50, 3),
             "ms_p99": round(float(np.percentile(samples, 99)), 3),
             "qa_per_sec": round(b / ms * 1e3, 1),
-            "qa_per_sec_p50": round(b / float(np.percentile(samples, 50)) * 1e3, 1),
+            "qa_per_sec_p50": round(b / p50 * 1e3, 1),
         }
         rows.append(row)
         print(
@@ -145,9 +157,10 @@ def main():
         "steps_per_sample": args.steps,
         "rounds": args.repeats,
         "methodology": (
-            "each sample = (t_{n+1} - t_1)/n of a dependency-chained "
-            "fori_loop (device step time; p99 spans round-to-round drift, "
-            "not per-request jitter)"
+            "ms_per_batch = (min(t_{n+1}) - min(t_1))/n over rounds of a "
+            "dependency-chained fori_loop (bench._per_step floor; device "
+            "step time); p50/p99 over per-round pairwise samples span "
+            "round-to-round drift, not per-request jitter"
         ),
         "sweep": rows,
     }
