@@ -29,18 +29,22 @@ secondary work ran first — BENCH_r04.json postmortem):
   1. state init       CPU-EAGER flax init + device_put + on-device opt.init
                       (no TPU compile; the on-device init program alone
                       cost 161 s cold through the tunnel)
-  2. drift canary     a fixed chained (8192,2048)x(2048,1536)x(1536,2048)
-                      matmul program timed every run — separates real
-                      regressions from tunnel/clock drift across rounds
-  3. HEADLINE timing  chained eval + train under pallas+bf16 (the shipped
+  2. HEADLINE timing  chained eval + train under pallas+bf16 (the shipped
                       default), warmed and sampled FIRST
-  4. fp32 timing      fp32 eval + train warmed, then ALL configurations
+  3. trained gates    bf16/Pallas argmax agreement + max-abs-err on TRAINED
+                      weights (benchmarks/fastpath_trained.msgpack;
+                      regenerated on demand when absent and budget allows)
+  4. drift canary     a fixed chained (8192,2048)x(2048,1536)x(1536,2048)
+                      matmul program timed every run — separates real
+                      regressions from tunnel/clock drift across rounds.
+                      NOT first: its per-process program-load/first-exec
+                      over the tunnel measured 30-324 s across runs, and
+                      the headline + trained gates must never wait on it
+                      (a 324 s canary stall once pushed both out of budget)
+  5. fp32 timing      fp32 eval + train warmed, then ALL configurations
                       re-timed in interleaved rounds (each round measures
                       every configuration once -> the fp32-vs-bf16 deltas
                       are robust to multi-percent tunnel drift)
-  5. trained gates    bf16/Pallas argmax agreement + max-abs-err on TRAINED
-                      weights (benchmarks/fastpath_trained.msgpack;
-                      regenerated on demand when absent and budget allows)
   6. random-init gates on-device Pallas == XLA: eval logits (atol 1e-3) and
                       one train step's loss + PER-MODULE gradient norms
                       (rel tol BENCH_GRAD_TOL, default 2e-3 — per-module
@@ -121,13 +125,17 @@ def _per_step(pairs, steps):
     difference is the cleanest n-iteration estimate the host clock gives.
 
     If a tunnel stall inflates every t1 probe past min(tn) the floor
-    collapses to <= 0; fall back to the median pairwise difference rather
-    than report an impossible rate (or divide by zero downstream).
+    collapses to <= 0 — or to a barely-positive sliver reporting an
+    impossible rate; fall back to the median pairwise difference rather
+    than report either (or divide by zero downstream). In clean data the
+    floor tracks the median within ~10%, so the half-median sanity cap
+    never engages.
     """
     est = (min(tn for _, tn in pairs) - min(t1 for t1, _ in pairs)) / steps
-    if est <= 0.0:
-        diffs = sorted(max(tn - t1, 0.0) / steps for t1, tn in pairs)
-        est = diffs[len(diffs) // 2]
+    diffs = sorted(max(tn - t1, 0.0) / steps for t1, tn in pairs)
+    median = diffs[len(diffs) // 2]
+    if est <= 0.0 or est < 0.5 * median:
+        est = median
     if est <= 0.0:  # every probe outran its n-step run: report the loose
         est = min(tn for _, tn in pairs) / steps  # overestimate, never 0/inf
     return est
@@ -368,9 +376,6 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     train_batch = inputs + labels
 
-    canary = _canary()
-    _stage(f"canary done ({canary['canary_ms']} ms, {canary['canary_tflops']} tflops)")
-
     # ---- chained timing programs ----
     # Every independent input path must be perturbed per-iteration (visual
     # INPUT tensors + the embedding table every question-path op depends on)
@@ -424,7 +429,7 @@ def main():
     skips: dict = {}
     failures: list = []
 
-    # ---- stage 3: HEADLINE (pallas + bf16, the shipped default) first ----
+    # ---- stage 2: HEADLINE (pallas + bf16, the shipped default) first ----
     plans = {
         "eval_bf16": (make_chained_eval(model16), (variables, inputs), steps),
         "train_bf16": (make_chained_train(model16), (state, train_batch), train_steps),
@@ -435,7 +440,27 @@ def main():
         raw[k].append(_measure_once(fn, args, n))
     _stage("bf16 headline warmed + sampled")
 
-    # ---- stage 4: fp32 secondary, then interleaved rounds over all ----
+    # ---- stage 3: trained-weights agreement gates ----
+    # benchmarks/fastpath_accuracy.py leaves a bundle of TRAINED params + a
+    # real val micro-batch; the fast-path agreement is re-measured there
+    # instead of only at random init (where 4k-way logits are near-tied and
+    # argmax agreement is a worst case). Absent bundle: regenerated on the
+    # spot when the budget allows (it is gitignored — a 121 MB blob has no
+    # business in git history), else skipped LOUDLY with the recipe.
+    # NOTE: trained_bf16_max_abs_err == 0.0 is the EXPECTED on-chip value —
+    # TPU fp32 matmuls default to a single bf16 MXU pass, so the eval-path
+    # streaming is bitwise-identical (benchmarks/precision_probe.py).
+    # Runs BEFORE the canary and fp32: with the bundle on disk it costs
+    # ~25 s warm, and it is the round's second-most-important claim.
+    trained = _trained_gates(use_pallas, failures)
+    if "trained_gates" in trained and trained["trained_gates"].startswith("ok"):
+        _stage("trained-weights gates done")
+
+    # ---- stage 4: drift canary (variable tunnel cost — see docstring) ----
+    canary = _canary()
+    _stage(f"canary done ({canary['canary_ms']} ms, {canary['canary_tflops']} tflops)")
+
+    # ---- stage 5: fp32 secondary, then interleaved rounds over all ----
     with_fp32 = not _over_budget()
     if with_fp32:
         plans["eval"] = (make_chained_eval(model), (variables, inputs), steps)
@@ -484,20 +509,6 @@ def main():
             "train_step_ms": round(per["train"] * 1e3, 2),
             "train_mfu": round(train_flops_qa * train_qps / peak, 4),
         }
-
-    # ---- stage 5: trained-weights agreement gates ----
-    # benchmarks/fastpath_accuracy.py leaves a bundle of TRAINED params + a
-    # real val micro-batch; the fast-path agreement is re-measured there
-    # instead of only at random init (where 4k-way logits are near-tied and
-    # argmax agreement is a worst case). Absent bundle: regenerated on the
-    # spot when the budget allows (it is gitignored — a 121 MB blob has no
-    # business in git history), else skipped LOUDLY with the recipe.
-    # NOTE: trained_bf16_max_abs_err == 0.0 is the EXPECTED on-chip value —
-    # TPU fp32 matmuls default to a single bf16 MXU pass, so the eval-path
-    # streaming is bitwise-identical (benchmarks/precision_probe.py).
-    trained = _trained_gates(use_pallas, failures)
-    if "trained_gates" in trained and trained["trained_gates"].startswith("ok"):
-        _stage("trained-weights gates done")
 
     # ---- stage 6: on-device Pallas == XLA gates at random init ----
     gates = {"eval": "skipped: BENCH_PALLAS=0", "train_grads": "skipped: BENCH_PALLAS=0"}

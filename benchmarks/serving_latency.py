@@ -38,6 +38,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import _per_step  # noqa: E402 — the one floor estimator
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -118,26 +120,28 @@ def main():
         a, m, qq, ql = app[:b], mot[:b], q[:b], qlen[:b]
         float(chained(variables, a, m, qq, ql, 1))
         float(chained(variables, a, m, qq, ql, args.steps + 1))
-        t1s, tns, samples = [], [], []
+        pairs, samples = [], []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
             float(chained(variables, a, m, qq, ql, 1))
-            t1s.append(time.perf_counter() - t0)
+            t1 = time.perf_counter() - t0
             t0 = time.perf_counter()
             float(chained(variables, a, m, qq, ql, args.steps + 1))
-            tns.append(time.perf_counter() - t0)
+            tn = time.perf_counter() - t0
+            pairs.append((t1, tn))
             # per-round sample for the drift percentiles only (pairwise
             # subtraction is fine for a SPREAD; it is biased for a floor)
-            samples.append(max(tns[-1] - t1s[-1], 0.0) / args.steps * 1e3)
-        # floor estimator: min(t_{n+1}) - min(t_1), same as bench._per_step —
-        # min over PAIRWISE differences cherry-picks rounds whose overhead
-        # probe stalled and reports physically impossible rates
-        ms = (min(tns) - min(t1s)) / args.steps * 1e3
+            samples.append(max(tn - t1, 0.0) / args.steps * 1e3)
+        # THE floor estimator — bench's own, imported so the two committed
+        # artifacts (serving_latency.json, BENCH_r*.json) can never be
+        # produced by silently divergent copies; its fallbacks guarantee
+        # a positive result (tests/test_bench_estimator.py)
+        ms = _per_step(pairs, args.steps) * 1e3
         p50 = float(np.percentile(samples, 50))
-        if ms <= 0.0 or ms > p50:  # tunnel stall swallowed the floor
+        if ms > p50 > 0.0:  # a floor above the median is a stall artifact
             ms = p50
-        if ms <= 0.0:  # every probe outran its n-step run: loose overestimate
-            ms = min(tns) / args.steps * 1e3
+        if p50 <= 0.0:  # degenerate sweep: keep the artifact writable
+            p50 = ms
         row = {
             "batch": b,
             "ms_per_batch": round(ms, 3),

@@ -4,6 +4,11 @@ Must run before any jax import (pytest loads conftest first).
 """
 
 import os
+import sys
+
+# repo root on sys.path so `import bench` / `import benchmarks.*` work under
+# a bare `pytest` invocation too (python -m pytest adds cwd; pytest doesn't)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # force CPU even when the ambient env selects a TPU platform (e.g. axon):
 # tests exercise the mesh on 8 virtual CPU devices and expect fp32 matmuls.

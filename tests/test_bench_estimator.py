@@ -31,6 +31,20 @@ def test_per_step_never_zero():
     assert abs(est - 0.4) < 1e-9
 
 
+def test_per_step_caps_sliver_floor():
+    # every t1 probe stalled but the floor stays barely positive
+    # ((5.0-4.999)/30 = 67 us/step, an impossible rate): the half-median
+    # sanity cap replaces it with the median pairwise estimate
+    est = bench._per_step([(4.999, 5.0), (4.998, 5.2)], 30)
+    assert abs(est - (5.2 - 4.998) / 30) < 1e-9
+
+
+def test_per_step_cap_leaves_clean_data_alone():
+    # clean rounds: floor within ~10% of the median — cap must not engage
+    pairs = [(0.10, 1.10), (0.11, 1.16), (0.10, 1.12)]
+    assert abs(bench._per_step(pairs, 10) - 0.1) < 1e-9
+
+
 def test_per_step_median_fallback():
     # min-min collapses (min(tn)=4.0 < min(t1)=4.5) but one round's
     # pairwise diff is clean: the median pairwise diff (0.1) is used
